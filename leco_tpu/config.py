@@ -1,0 +1,123 @@
+"""Config system: YAML -> typed pydantic tree.
+
+Keeps the exact YAML surface of the reference (config_util.py:10-104 in
+p1atdev/LECO): a `RootConfig` with `prompts_file`, `pretrained_model`,
+`network`, `train`, `save`, `logging`, `other` sections, missing sections
+default-constructed, and precision strings parsed to dtypes.
+
+Differences from the reference (deliberate, documented in docs/QUIRKS.md):
+  * pydantic v2 instead of v1; unknown YAML keys are ignored (pydantic-v1
+    behavior the reference relied on, e.g. `train.batch_size` in
+    examples/cat_ears_config.yaml which TrainConfig never defined).
+  * precision parses to a `jnp.dtype` instead of `torch.dtype`.
+  * `save.precision` is honored (the reference parsed `train.precision`
+    twice, train_lora.py:54-55).
+"""
+
+from __future__ import annotations
+
+from typing import Literal, Optional
+
+import jax.numpy as jnp
+import yaml
+from pydantic import BaseModel, ConfigDict
+
+PRECISION_TYPES = Literal["fp32", "fp16", "bf16", "float32", "float16", "bfloat16"]
+NETWORK_TYPES = Literal["lierla", "c3lier"]
+TRAINING_METHODS = Literal["noxattn", "innoxattn", "selfattn", "xattn", "full"]
+SCHEDULER_TYPES = Literal["ddim", "ddpm", "lms", "euler_a"]
+
+
+class _Section(BaseModel):
+    model_config = ConfigDict(extra="ignore")
+
+
+class PretrainedModelConfig(_Section):
+    name_or_path: str
+    v2: bool = False
+    v_pred: bool = False
+    clip_skip: Optional[int] = None
+
+
+class NetworkConfig(_Section):
+    type: NETWORK_TYPES = "lierla"
+    rank: int = 4
+    alpha: float = 1.0
+    training_method: TRAINING_METHODS = "full"
+
+
+class TrainConfig(_Section):
+    precision: PRECISION_TYPES = "bfloat16"
+    noise_scheduler: SCHEDULER_TYPES = "ddim"
+
+    iterations: int = 500
+    lr: float = 1e-4
+    optimizer: str = "adamw"
+    optimizer_args: str = ""
+    lr_scheduler: str = "constant"
+
+    max_denoising_steps: int = 50
+
+    # TPU-native extensions (absent in the reference):
+    seed: Optional[int] = None  # explicit PRNG seed; None -> OS entropy
+    data_parallel: bool = True  # shard the batch over the device mesh
+    checkpoint_unet: bool = True  # remat the UNet blocks in the grad pass
+
+
+class SaveConfig(_Section):
+    name: str = "untitled"
+    path: str = "./output"
+    per_steps: int = 200
+    precision: PRECISION_TYPES = "float32"
+
+
+class LoggingConfig(_Section):
+    use_wandb: bool = False
+    verbose: bool = False
+
+
+class OtherConfig(_Section):
+    # reference flag for xformers attention (train_lora_xl.py:79-80);
+    # here it selects the Pallas flash-attention kernel vs plain XLA attention.
+    use_xformers: bool = False
+    use_flash_attention: Optional[bool] = None  # None -> auto (TPU: on)
+
+
+class RootConfig(_Section):
+    prompts_file: str
+    pretrained_model: PretrainedModelConfig
+    network: NetworkConfig = NetworkConfig()
+    train: Optional[TrainConfig] = None
+    save: Optional[SaveConfig] = None
+    logging: Optional[LoggingConfig] = None
+    other: Optional[OtherConfig] = None
+
+
+def parse_precision(precision: str) -> jnp.dtype:
+    """Precision string -> jnp dtype (reference: config_util.py:75-83)."""
+    if precision in ("fp32", "float32"):
+        return jnp.float32
+    if precision in ("fp16", "float16"):
+        return jnp.float16
+    if precision in ("bf16", "bfloat16"):
+        return jnp.bfloat16
+    raise ValueError(f"Invalid precision type: {precision}")
+
+
+def load_config_from_yaml(config_path: str) -> RootConfig:
+    """Load YAML and default-fill missing sections (config_util.py:86-104)."""
+    with open(config_path, "r") as f:
+        config = yaml.safe_load(f)
+
+    root = RootConfig(**config)
+
+    if root.train is None:
+        root.train = TrainConfig()
+    if root.save is None:
+        root.save = SaveConfig()
+    if root.logging is None:
+        root.logging = LoggingConfig()
+    if root.other is None:
+        root.other = OtherConfig()
+
+    return root
