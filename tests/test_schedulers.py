@@ -95,7 +95,8 @@ class TestDDIM:
         for i in range(3):
             sa = st_e.sqrt_alpha_t[i]
             soma = st_e.sqrt_one_minus_alpha_t[i]
-            v = sa * eps - soma * x
+            x0 = (x - soma * eps) / sa  # the x0 implied by (x, eps)
+            v = sa * eps - soma * x0
             out_e = sched.step_ddim(st_e, eps, i, x)
             out_v = sched.step_ddim(st_v, v, i, x)
             np.testing.assert_allclose(
