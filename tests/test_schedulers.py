@@ -122,12 +122,15 @@ class TestDDPM:
         assert float(st.ddpm_std[-1]) == 0.0
         assert float(st.ddpm_std[0]) > 0.0
 
-    def test_posterior_mean_coefs_sum(self):
-        """For x0 == x_t == 0-noise fixed point: coefs applied to a constant
-        image must approximately keep it in range (mean-preserving bound)."""
+    def test_posterior_mean_identity(self):
+        """For a noiseless consistent signal (x_t = sqrt(a_t) c, x0 = c), the
+        posterior mean must equal sqrt(a_prev) c. Algebraically:
+        x0_coef + xt_coef*sqrt(a_t) == sqrt(a_prev)."""
         st = make("ddpm").set_timesteps(50)
-        total = np.asarray(st.ddpm_x0_coef) + np.asarray(st.ddpm_xt_coef)
-        assert np.all(total > 0.99) and np.all(total < 1.25)
+        lhs = np.asarray(st.ddpm_x0_coef) + np.asarray(st.ddpm_xt_coef) * np.asarray(
+            st.sqrt_alpha_t
+        )
+        np.testing.assert_allclose(lhs, np.asarray(st.sqrt_alpha_prev), rtol=1e-4)
 
     def test_step_runs(self):
         st = make("ddpm").set_timesteps(50)
@@ -184,7 +187,7 @@ class TestLMS:
         st = make("lms").set_timesteps(50)
         x = jnp.ones((1, 4, 4, 4))
         hist = jnp.zeros((sched.LMS_ORDER, 1, 4, 4, 4))
-        out, hist2 = sched.step_lms(st, jnp.zeros_like(x), 0, x, hist)
+        out, hist2 = sched.step_lms(st, jnp.ones_like(x), 0, x, hist)
         assert out.shape == x.shape
         assert hist2.shape == hist.shape
         # newest derivative placed at slot 0
