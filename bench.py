@@ -1,0 +1,107 @@
+"""Headline benchmark: LoRA train iterations/sec on SD1.5 @ 512px, bf16.
+
+Reproduces the reference's default van-gogh-erase recipe
+(examples/config.yaml in p1atdev/LECO: rank 4, DDIM, bf16, 512px,
+max_denoising_steps 50) with random UNet weights (throughput does not depend
+on weight values) and the real sampled-timesteps_to distribution.
+
+Baseline: ~0.083 it/s (100 steps / 20 min) on the reference's Colab GPU
+(BASELINE.md). Prints one JSON line:
+  {"metric": ..., "value": N, "unit": "it/s", "vs_baseline": N}
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_ITS_PER_SEC = 0.083  # reference Colab figure (BASELINE.md)
+
+
+def main():
+    from leco_tpu.lora import LoRASpec
+    from leco_tpu.ops.attention import default_backend
+    from leco_tpu.models.unet import sd15_config
+    from leco_tpu.prompts import PromptSettings
+    from leco_tpu.testing import make_random_bundle
+    from leco_tpu.train.optim import get_lr_schedule, get_optimizer
+    from leco_tpu.train.trainer import build_pack, encode_prompt_pairs, make_train_step
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+
+    bundle = make_random_bundle(
+        config=sd15_config(),
+        spec=LoRASpec(rank=4, alpha=1.0),
+        scheduler_kind="ddim",
+        dtype=jnp.bfloat16,
+        param_dtype=jnp.bfloat16,
+        attn_backend=default_backend(),
+        remat=True,
+    )
+
+    prompts = [PromptSettings(target="van gogh", resolution=512, batch_size=1)]
+    pairs = encode_prompt_pairs(prompts, bundle.encode_fn)
+    pair = pairs[0]
+    pack = build_pack(pair, is_xl=False, height=512, width=512)
+
+    max_steps = 50
+    lr_schedule = get_lr_schedule("constant", 1e-4, 500)
+    optimizer = get_optimizer("adamw", lr_schedule)
+    lora = bundle.lora_params
+    opt_state = optimizer.init(lora)
+    step_fn = make_train_step(bundle, optimizer, max_steps)
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+
+    def run_iter(lora, opt_state, key, t_to):
+        key, sub = jax.random.split(key)
+        lora, opt_state, loss = step_fn(
+            bundle.base_params,
+            lora,
+            opt_state,
+            sub,
+            pack,
+            jnp.float32(pair.guidance_scale),
+            jnp.float32(pair.erase_sign),
+            jnp.int32(t_to),
+            height=512,
+            width=512,
+            shard_batch=False,
+        )
+        return lora, opt_state, loss, key
+
+    # warmup / compile (one compilation serves every timesteps_to)
+    lora, opt_state, loss, key = run_iter(lora, opt_state, key, 25)
+    jax.block_until_ready(loss)
+
+    # timed: the real t_to ~ U[1, 50) distribution (train_lora.py:154-156).
+    # Use a fixed seeded sample so runs are comparable across rounds.
+    n_iters = 12 if on_tpu else 3
+    t_tos = rng.integers(1, max_steps, size=n_iters)
+    start = time.perf_counter()
+    for t_to in t_tos:
+        lora, opt_state, loss, key = run_iter(lora, opt_state, key, int(t_to))
+    jax.block_until_ready(loss)
+    elapsed = time.perf_counter() - start
+
+    its_per_sec = n_iters / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "LoRA train iters/sec/chip, SD1.5 512px bf16 rank4 ddim",
+                "value": round(its_per_sec, 4),
+                "unit": "it/s",
+                "vs_baseline": round(its_per_sec / BASELINE_ITS_PER_SEC, 2),
+                "platform": platform,
+                "mean_inner_steps": float(np.mean(t_tos)),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,350 @@
+"""LoRA as a functional parameter-tree overlay — the TPU-native redesign of
+the reference's forward-hook injection (lora.py in p1atdev/LECO).
+
+Design (SURVEY.md section 7, step 5): instead of monkey-patching module
+forwards (reference lora.py:97-106), every targetable Dense/Conv layer in the
+Flax UNet is a `LoRADense`/`LoRAConv`. When its path matches the `LoRASpec`
+(network type + training method), `init` creates `lora_down`/`lora_up`
+parameters *next to* the base kernel; `apply` adds
+`(x @ down) @ up * (alpha/rank)` in activation space — mathematically the
+reference's `org_forward(x) + lora_up(lora_down(x)) * multiplier * scale`.
+
+The reference's `with network:` multiplier toggle (lora.py:231-237) becomes
+pure pytree manipulation:
+  * LoRA OFF  -> apply with the base subtree only (the layer detects the
+    absent `lora_down` and skips the branch — zero overhead, exactly the
+    base model).
+  * LoRA ON   -> apply with base|lora merged.
+  * arbitrary multiplier (A1111 AddNet weight -1..1) -> scale the `lora_up`
+    leaves (the contribution is linear in `up`), see `scale_lora_tree`.
+
+Targeting parity with the reference:
+  * lierla: every Linear/Conv2d inside a Transformer2DModel
+    (path contains `attentions_<i>`)   [lora.py:15-17, 188-190]
+  * c3lier: + ResnetBlock2D / Downsample2D / Upsample2D subtrees
+    (`resnets_<i>` / `downsamplers_0` / `upsamplers_0`)  [lora.py:18-22]
+  * training_method name filters (lora.py:169-187) are applied to the FULL
+    layer path. NOTE: the reference applies them to the *block* name, which
+    never contains "attn1"/"attn2", so its `selfattn`/`xattn` methods
+    silently create 0 modules; this rebuild implements the intended
+    semantics (see docs/QUIRKS.md).
+  * conv rank clamped to min(rank, in, out) (lora.py:72); stored alpha falls
+    back to the *unclamped* rank when alpha is 0/None (lora.py:86), and
+    scale = stored_alpha / clamped_rank (lora.py:87).
+  * init: kaiming_uniform(a=sqrt(5)) == U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+    on down, zeros on up (lora.py:91-92).
+
+Export (`save_lora_weights`) writes the A1111-AddNet/kohya-compatible
+safetensors layout: `lora_unet_<path>.{lora_down.weight, lora_up.weight,
+alpha}` in torch tensor layout (lora.py:212-229).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import re
+from typing import Any, Literal, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax.traverse_util import flatten_dict, unflatten_dict
+from jax import lax
+
+TRAINING_METHODS = Literal["noxattn", "innoxattn", "selfattn", "xattn", "full"]
+
+LORA_PREFIX_UNET = "lora_unet"
+
+_TRANSFORMER_RE = re.compile(r"attentions_\d+$")
+_CONV_BLOCK_RE = re.compile(r"(resnets_\d+|downsamplers_0|upsamplers_0)$")
+
+
+@dataclasses.dataclass(frozen=True)
+class LoRASpec:
+    """Static LoRA network description (hashable — used as a module attr)."""
+
+    rank: int = 4
+    alpha: float = 1.0
+    network_type: str = "lierla"  # or "c3lier"
+    train_method: str = "full"
+
+    @property
+    def stored_alpha(self) -> float:
+        """alpha falls back to the (unclamped) rank when 0/None
+        (reference lora.py:86)."""
+        return self.alpha if self.alpha else float(self.rank)
+
+    def matches(self, path: tuple[str, ...]) -> bool:
+        """Is the Dense/Conv layer at `path` a LoRA target?"""
+        name = "_".join(path)
+        m = self.train_method
+        if m == "noxattn":
+            if "attn2" in name or "time_embed" in name:
+                return False
+        elif m == "innoxattn":
+            if "attn2" in name:
+                return False
+        elif m == "selfattn":
+            if "attn1" not in name:
+                return False
+        elif m == "xattn":
+            if "attn2" not in name:
+                return False
+        elif m != "full":
+            raise NotImplementedError(f"train_method: {m} is not implemented.")
+
+        in_transformer = any(_TRANSFORMER_RE.match(p) for p in path)
+        if self.network_type == "lierla":
+            return in_transformer
+        if self.network_type == "c3lier":
+            in_conv_block = any(_CONV_BLOCK_RE.match(p) for p in path)
+            return in_transformer or in_conv_block
+        raise ValueError(f"unknown network type: {self.network_type}")
+
+
+def _kaiming_down_init(key, shape, dtype):
+    """torch kaiming_uniform_(a=sqrt(5)): U(-b, b), b = 1/sqrt(fan_in);
+    fan_in = prod(shape[:-1]) for both dense (in, r) and conv (kh,kw,in,r)."""
+    fan_in = float(np.prod(shape[:-1]))
+    bound = 1.0 / np.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class LoRADense(nn.Module):
+    """nn.Dense with an optional LoRA branch; params named `kernel`/`bias`
+    plus `lora_down` (in, r) / `lora_up` (r, out) when targeted."""
+
+    features: int
+    use_bias: bool = True
+    lora_spec: Optional[LoRASpec] = None
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (in_features, self.features),
+            self.param_dtype,
+        )
+        y = x @ kernel.astype(self.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+            )
+            y = y + bias.astype(self.dtype)
+
+        spec = self.lora_spec
+        if spec is not None and spec.matches(self.path):
+            if self.is_initializing() or self.has_variable("params", "lora_down"):
+                r = spec.rank
+                down = self.param(
+                    "lora_down", _kaiming_down_init, (in_features, r), jnp.float32
+                )
+                up = self.param(
+                    "lora_up", nn.initializers.zeros, (r, self.features), jnp.float32
+                )
+                scale = spec.stored_alpha / r
+                delta = (x @ down.astype(self.dtype)) @ up.astype(self.dtype)
+                y = y + delta * jnp.asarray(scale, self.dtype)
+        return y
+
+
+class LoRAConv(nn.Module):
+    """2D conv (NHWC/HWIO) with an optional LoRA branch: `lora_down` is a
+    conv with the base kernel/stride/padding, `lora_up` a 1x1 conv
+    (reference lora.py:76-82)."""
+
+    features: int
+    kernel_size: tuple[int, int] = (3, 3)
+    strides: tuple[int, int] = (1, 1)
+    padding: Any = ((0, 0), (0, 0))
+    use_bias: bool = True
+    lora_spec: Optional[LoRASpec] = None
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    def _conv(self, x, kernel, strides=None):
+        return lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=strides or self.strides,
+            padding=self.padding if isinstance(self.padding, str) else list(self.padding),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, in_features, self.features),
+            self.param_dtype,
+        )
+        y = self._conv(x, kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+            )
+            y = y + bias.astype(self.dtype)
+
+        spec = self.lora_spec
+        if spec is not None and spec.matches(self.path):
+            if self.is_initializing() or self.has_variable("params", "lora_down"):
+                r = min(spec.rank, in_features, self.features)  # lora.py:72
+                down = self.param(
+                    "lora_down",
+                    _kaiming_down_init,
+                    (kh, kw, in_features, r),
+                    jnp.float32,
+                )
+                up = self.param(
+                    "lora_up", nn.initializers.zeros, (r, self.features), jnp.float32
+                )
+                scale = spec.stored_alpha / r  # lora.py:86-87
+                h = self._conv(x, down.astype(self.dtype))
+                delta = jnp.einsum("bhwr,ro->bhwo", h, up.astype(self.dtype))
+                y = y + delta * jnp.asarray(scale, self.dtype)
+        return y
+
+
+# ---------------------------------------------------------------------------
+# Pytree surgery
+# ---------------------------------------------------------------------------
+
+
+def split_lora_params(params) -> tuple[dict, dict]:
+    """Full init tree -> (base, lora) by leaf name."""
+    flat = flatten_dict(params)
+    base = {k: v for k, v in flat.items() if not k[-1].startswith("lora_")}
+    lora = {k: v for k, v in flat.items() if k[-1].startswith("lora_")}
+    return unflatten_dict(base), unflatten_dict(lora)
+
+
+def merge_params(base, lora) -> dict:
+    """(base, lora) -> one apply-able tree. Cheap: dict-level merge."""
+    flat = dict(flatten_dict(base))
+    flat.update(flatten_dict(lora))
+    return unflatten_dict(flat)
+
+
+def scale_lora_tree(lora, multiplier: float | jnp.ndarray):
+    """Scale the LoRA contribution by `multiplier` (the reference's
+    network multiplier / A1111 AddNet weight): contribution is linear in
+    `lora_up`, so scaling those leaves is exact."""
+    flat = flatten_dict(lora)
+    out = {
+        k: (v * multiplier if k[-1] == "lora_up" else v) for k, v in flat.items()
+    }
+    return unflatten_dict(out)
+
+
+def lora_module_names(lora) -> list[str]:
+    """Export-layer names in tree order: 'lora_unet_<path>' per layer."""
+    seen: list[str] = []
+    for k in flatten_dict(lora):
+        name = LORA_PREFIX_UNET + "_" + "_".join(k[:-1])
+        if name not in seen:
+            seen.append(name)
+    return seen
+
+
+def count_lora_modules(lora) -> int:
+    return len(lora_module_names(lora))
+
+
+# ---------------------------------------------------------------------------
+# Export / import (A1111-AddNet / kohya safetensors layout)
+# ---------------------------------------------------------------------------
+
+
+def export_lora_state(
+    lora, spec: LoRASpec, save_dtype=np.float32
+) -> dict[str, np.ndarray]:
+    """Flax lora tree -> {key: torch-layout array} with the reference's key
+    format (lora.py:212-229): `lora_unet_<name>.lora_down.weight`,
+    `.lora_up.weight`, `.alpha`."""
+    flat = flatten_dict(lora)
+    layers: dict[tuple, dict] = {}
+    for k, v in flat.items():
+        layers.setdefault(k[:-1], {})[k[-1]] = np.asarray(v)
+
+    state: dict[str, np.ndarray] = {}
+    for path, tensors in layers.items():
+        name = LORA_PREFIX_UNET + "_" + "_".join(path)
+        down = tensors["lora_down"]
+        up = tensors["lora_up"]
+        if down.ndim == 2:  # dense: (in, r) -> (r, in); (r, out) -> (out, r)
+            down_t = down.T
+            up_t = up.T
+        else:  # conv: (kh, kw, in, r) -> (r, in, kh, kw); up -> (out, r, 1, 1)
+            down_t = down.transpose(3, 2, 0, 1)
+            up_t = up.T[:, :, None, None]
+        # safetensors serializes the raw buffer: views must be materialized
+        state[f"{name}.lora_down.weight"] = np.ascontiguousarray(
+            down_t.astype(save_dtype)
+        )
+        state[f"{name}.lora_up.weight"] = np.ascontiguousarray(
+            up_t.astype(save_dtype)
+        )
+        state[f"{name}.alpha"] = np.asarray(spec.stored_alpha, dtype=save_dtype)
+    return state
+
+
+def save_lora_weights(
+    file: str | os.PathLike,
+    lora,
+    spec: LoRASpec,
+    save_dtype=np.float32,
+    metadata: Optional[dict[str, str]] = None,
+) -> None:
+    """safetensors (or .npz fallback for non-.safetensors extensions,
+    standing in for the reference's torch.save branch)."""
+    state = export_lora_state(lora, spec, save_dtype=save_dtype)
+    file = os.fspath(file)
+    if os.path.splitext(file)[1] == ".safetensors":
+        from safetensors.numpy import save_file
+
+        save_file(state, file, metadata=metadata)
+    else:
+        np.savez(file, **state)
+
+
+def load_lora_weights(file: str | os.PathLike, reference_lora) -> dict:
+    """safetensors -> flax lora tree, using `reference_lora` (an init'ed
+    lora tree) to resolve the flattened names back into the tree structure."""
+    from safetensors.numpy import load_file
+
+    state = load_file(os.fspath(file))
+    flat_ref = flatten_dict(reference_lora)
+    by_name = {}
+    for k in flat_ref:
+        by_name.setdefault(LORA_PREFIX_UNET + "_" + "_".join(k[:-1]), k[:-1])
+
+    out = {}
+    for key, value in state.items():
+        name, _, leaf = key.rpartition(".")
+        if name.endswith(".lora_down") or name.endswith(".lora_up"):
+            name, _, which = name.rpartition(".")
+        else:
+            which = leaf  # "alpha"
+        if which == "alpha":
+            continue
+        path = by_name.get(name)
+        if path is None:
+            raise KeyError(f"LoRA key {key} does not match any model layer")
+        v = np.asarray(value, np.float32)
+        if which == "lora_down":
+            # torch (r, in) -> flax (in, r); torch (r, in, kh, kw) -> (kh, kw, in, r)
+            v = v.T if v.ndim == 2 else v.transpose(2, 3, 1, 0)
+            out[path + ("lora_down",)] = jnp.asarray(v)
+        else:
+            v = v.T if v.ndim == 2 else v[:, :, 0, 0].T
+            out[path + ("lora_up",)] = jnp.asarray(v)
+    return unflatten_dict(out)

@@ -1,0 +1,333 @@
+"""torch state-dict -> Flax param-tree conversion (UNet + CLIP), plus the
+LDM single-file key remapping.
+
+Replaces the loading half of model_util.py (p1atdev/LECO): where the
+reference delegates to diffusers `from_pretrained` / `from_single_file`
+(model_util.py:29-129, 179-197), this module converts raw torch tensors
+(read via safetensors, no torch required) into the Flax trees of
+`leco_tpu.models.unet.UNet2DConditionModel` / `leco_tpu.models.clip`.
+
+Layout rules:
+  * Linear `weight` (out, in)        -> `kernel` (in, out)
+  * Conv   `weight` (out, in, kh, kw)-> `kernel` (kh, kw, in, out)
+  * Norm   `weight` (c,)             -> `scale`
+  * Embedding `weight`               -> `embedding` (unchanged)
+Path rule: diffusers dotted names with numeric segments fold into the Flax
+module names ("down_blocks.0.attentions.0" -> "down_blocks_0/attentions_0";
+"ff.net.0.proj" -> "ff/net_0/proj"; "to_out.0" -> "to_out_0").
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+from flax.traverse_util import unflatten_dict
+
+# diffusers UNet modules whose children take a trailing ".N" that folds into
+# the PARENT name (ModuleList indices)
+_INDEXED = (
+    "down_blocks",
+    "up_blocks",
+    "attentions",
+    "resnets",
+    "downsamplers",
+    "upsamplers",
+    "transformer_blocks",
+    "net",
+    "to_out",
+    "layers",
+)
+
+
+def _fold_path(name: str) -> tuple[str, ...]:
+    """'down_blocks.0.attentions.1.proj_in' ->
+    ('down_blocks_0', 'attentions_1', 'proj_in')."""
+    tokens = name.split(".")
+    out: list[str] = []
+    for tok in tokens:
+        if tok.isdigit() and out and out[-1].split("_")[0] in {
+            p.split("_")[0] for p in _INDEXED
+        }:
+            out[-1] = f"{out[-1]}_{tok}"
+        elif tok.isdigit() and out:
+            out[-1] = f"{out[-1]}_{tok}"
+        else:
+            out.append(tok)
+    return tuple(out)
+
+
+def _convert_leaf(path: tuple[str, ...], value: np.ndarray):
+    """Map a (path, tensor) pair to the flax (path, array) pair."""
+    leaf = path[-1]
+    if leaf == "weight":
+        if value.ndim == 4:  # conv
+            return path[:-1] + ("kernel",), value.transpose(2, 3, 1, 0)
+        if value.ndim == 2:  # linear
+            return path[:-1] + ("kernel",), value.T
+        return path[:-1] + ("scale",), value  # norm
+    if leaf == "bias":
+        return path, value
+    return path, value
+
+
+def torch_unet_to_flax(state_dict: Mapping[str, np.ndarray]) -> dict:
+    """diffusers UNet2DConditionModel torch state dict -> flax params."""
+    flat = {}
+    for name, value in state_dict.items():
+        value = np.asarray(value)
+        path = _fold_path(name)
+        # parameterless modules in the torch dict metadata
+        if path[0] in ("time_proj", "add_time_proj"):
+            continue
+        path, value = _convert_leaf(path, value)
+        flat[path] = value
+    return unflatten_dict(flat)
+
+
+def torch_clip_to_flax(
+    state_dict: Mapping[str, np.ndarray], num_hidden_layers: int
+) -> dict:
+    """HF CLIPTextModel(WithProjection) torch state dict -> flax params for
+    `leco_tpu.models.clip.CLIPTextModel`. Layers >= num_hidden_layers are
+    dropped (the reference's clip-skip arithmetic, model_util.py:48,62)."""
+    flat = {}
+    for name, value in state_dict.items():
+        value = np.asarray(value)
+        if name == "text_projection.weight":
+            flat[("text_projection", "kernel")] = value.T
+            continue
+        if not name.startswith("text_model."):
+            continue
+        name = name[len("text_model.") :]
+        if name.startswith("embeddings."):
+            name = name[len("embeddings.") :]
+            which = name.split(".")[0]  # token_embedding | position_embedding
+            flat[(which, "embedding")] = value
+            continue
+        if name.startswith("encoder.layers."):
+            rest = name[len("encoder.layers.") :]
+            idx, rest = rest.split(".", 1)
+            if int(idx) >= num_hidden_layers:
+                continue
+            layer = f"layers_{idx}"
+            if rest.startswith("self_attn."):
+                sub = rest[len("self_attn.") :]  # q_proj.weight etc.
+                proj, leaf = sub.split(".")
+                path = (layer, "self_attn", proj, leaf)
+            elif rest.startswith("mlp."):
+                sub = rest[len("mlp.") :]  # fc1.weight
+                fc, leaf = sub.split(".")
+                path = (layer, f"mlp_{fc}", leaf)
+            else:  # layer_norm1.weight etc.
+                ln, leaf = rest.split(".")
+                path = (layer, ln, leaf)
+            path, value = _convert_leaf(path, value)
+            flat[path] = value
+            continue
+        if name.startswith("final_layer_norm."):
+            leaf = name.split(".")[-1]
+            path, value = _convert_leaf(("final_layer_norm", leaf), value)
+            flat[path] = value
+            continue
+        # position_ids buffers etc. are dropped
+    return unflatten_dict(flat)
+
+
+# ---------------------------------------------------------------------------
+# LDM single-file (.ckpt / .safetensors) -> diffusers key layout
+# (the from_single_file path, model_util.py:77-101)
+# ---------------------------------------------------------------------------
+
+
+def _ldm_resnet(prefix_out: str, prefix_in: str) -> dict[str, str]:
+    return {
+        f"{prefix_in}.in_layers.0.weight": f"{prefix_out}.norm1.weight",
+        f"{prefix_in}.in_layers.0.bias": f"{prefix_out}.norm1.bias",
+        f"{prefix_in}.in_layers.2.weight": f"{prefix_out}.conv1.weight",
+        f"{prefix_in}.in_layers.2.bias": f"{prefix_out}.conv1.bias",
+        f"{prefix_in}.emb_layers.1.weight": f"{prefix_out}.time_emb_proj.weight",
+        f"{prefix_in}.emb_layers.1.bias": f"{prefix_out}.time_emb_proj.bias",
+        f"{prefix_in}.out_layers.0.weight": f"{prefix_out}.norm2.weight",
+        f"{prefix_in}.out_layers.0.bias": f"{prefix_out}.norm2.bias",
+        f"{prefix_in}.out_layers.3.weight": f"{prefix_out}.conv2.weight",
+        f"{prefix_in}.out_layers.3.bias": f"{prefix_out}.conv2.bias",
+        f"{prefix_in}.skip_connection.weight": f"{prefix_out}.conv_shortcut.weight",
+        f"{prefix_in}.skip_connection.bias": f"{prefix_out}.conv_shortcut.bias",
+    }
+
+
+def ldm_unet_to_diffusers(
+    state_dict: Mapping[str, np.ndarray],
+    num_blocks: int = 4,
+    layers_per_block: int = 2,
+) -> dict[str, np.ndarray]:
+    """'model.diffusion_model.*' LDM UNet keys -> diffusers UNet keys.
+
+    Supports the SD1.x/2.x topology (4 levels, 2 layers/block, attention on
+    the first 3 levels). SDXL single-file uses the same scheme with its own
+    topology; pass num_blocks=3 + the XL attention layout.
+    """
+    prefix = "model.diffusion_model."
+    sd = {
+        k[len(prefix) :]: np.asarray(v)
+        for k, v in state_dict.items()
+        if k.startswith(prefix)
+    }
+    if not sd:
+        raise ValueError("no model.diffusion_model.* keys found")
+
+    mapping: dict[str, str] = {
+        "time_embed.0.weight": "time_embedding.linear_1.weight",
+        "time_embed.0.bias": "time_embedding.linear_1.bias",
+        "time_embed.2.weight": "time_embedding.linear_2.weight",
+        "time_embed.2.bias": "time_embedding.linear_2.bias",
+        "label_emb.0.0.weight": "add_embedding.linear_1.weight",
+        "label_emb.0.0.bias": "add_embedding.linear_1.bias",
+        "label_emb.0.2.weight": "add_embedding.linear_2.weight",
+        "label_emb.0.2.bias": "add_embedding.linear_2.bias",
+        "input_blocks.0.0.weight": "conv_in.weight",
+        "input_blocks.0.0.bias": "conv_in.bias",
+        "out.0.weight": "conv_norm_out.weight",
+        "out.0.bias": "conv_norm_out.bias",
+        "out.2.weight": "conv_out.weight",
+        "out.2.bias": "conv_out.bias",
+    }
+
+    # --- input (down) blocks: LDM input_blocks.{1..}: per level:
+    # layers_per_block resnet(+attn) entries then a downsample entry
+    ldm_idx = 1
+    for level in range(num_blocks):
+        for layer in range(layers_per_block):
+            d_res = f"down_blocks.{level}.resnets.{layer}"
+            mapping.update(_ldm_resnet(d_res, f"input_blocks.{ldm_idx}.0"))
+            # attention present if the key exists
+            attn_in = f"input_blocks.{ldm_idx}.1"
+            if any(k.startswith(attn_in + ".") for k in sd):
+                _map_attention(
+                    mapping, f"down_blocks.{level}.attentions.{layer}", attn_in, sd
+                )
+            ldm_idx += 1
+        if level != num_blocks - 1:
+            mapping[f"input_blocks.{ldm_idx}.0.op.weight"] = (
+                f"down_blocks.{level}.downsamplers.0.conv.weight"
+            )
+            mapping[f"input_blocks.{ldm_idx}.0.op.bias"] = (
+                f"down_blocks.{level}.downsamplers.0.conv.bias"
+            )
+            ldm_idx += 1
+
+    # --- mid
+    mapping.update(_ldm_resnet("mid_block.resnets.0", "middle_block.0"))
+    _map_attention(mapping, "mid_block.attentions.0", "middle_block.1", sd)
+    mapping.update(_ldm_resnet("mid_block.resnets.1", "middle_block.2"))
+
+    # --- output (up) blocks: layers_per_block+1 entries per level;
+    # upsampler shares the last entry's submodule list
+    ldm_idx = 0
+    for level in range(num_blocks):
+        for layer in range(layers_per_block + 1):
+            u_res = f"up_blocks.{level}.resnets.{layer}"
+            mapping.update(_ldm_resnet(u_res, f"output_blocks.{ldm_idx}.0"))
+            attn_in = f"output_blocks.{ldm_idx}.1"
+            has_attn = any(
+                k.startswith(attn_in + ".") and "conv" not in k.split(".")[2]
+                for k in sd
+                if k.startswith(attn_in + ".")
+            )
+            # the upsampler can live at .1 (no attention) or .2
+            up_candidates = [f"output_blocks.{ldm_idx}.1", f"output_blocks.{ldm_idx}.2"]
+            if has_attn and any(
+                k.startswith(attn_in + ".norm.") or k.startswith(attn_in + ".proj_in.")
+                for k in sd
+            ):
+                _map_attention(
+                    mapping, f"up_blocks.{level}.attentions.{layer}", attn_in, sd
+                )
+                up_candidates = [f"output_blocks.{ldm_idx}.2"]
+            if layer == layers_per_block and level != num_blocks - 1:
+                for cand in up_candidates:
+                    if f"{cand}.conv.weight" in sd:
+                        mapping[f"{cand}.conv.weight"] = (
+                            f"up_blocks.{level}.upsamplers.0.conv.weight"
+                        )
+                        mapping[f"{cand}.conv.bias"] = (
+                            f"up_blocks.{level}.upsamplers.0.conv.bias"
+                        )
+                        break
+            ldm_idx += 1
+
+    out = {}
+    for ldm_key, diff_key in mapping.items():
+        if ldm_key in sd:
+            out[diff_key] = sd[ldm_key]
+    return out
+
+
+def _map_attention(mapping: dict, out_prefix: str, in_prefix: str, sd) -> None:
+    """Transformer2DModel keys are identical between LDM and diffusers apart
+    from the prefix."""
+    for k in list(sd):
+        if k.startswith(in_prefix + "."):
+            mapping[k] = out_prefix + k[len(in_prefix) :]
+
+
+def ldm_clip_to_hf(state_dict: Mapping[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """SD1.x LDM text encoder ('cond_stage_model.transformer.*') -> HF CLIP
+    keys. (SD2.x open_clip format 'cond_stage_model.model.*' handled by
+    `ldm_openclip_to_hf`.)"""
+    prefix = "cond_stage_model.transformer."
+    return {
+        k[len(prefix) :]: np.asarray(v)
+        for k, v in state_dict.items()
+        if k.startswith(prefix)
+    }
+
+
+def ldm_openclip_to_hf(
+    state_dict: Mapping[str, np.ndarray], hidden_size: int = 1024
+) -> dict[str, np.ndarray]:
+    """SD2.x open_clip text tower ('cond_stage_model.model.*') -> HF CLIP
+    keys: fused in_proj split into q/k/v."""
+    prefix = "cond_stage_model.model."
+    sd = {
+        k[len(prefix) :]: np.asarray(v)
+        for k, v in state_dict.items()
+        if k.startswith(prefix)
+    }
+    if not sd:
+        return {}
+    out: dict[str, np.ndarray] = {}
+    out["text_model.embeddings.token_embedding.weight"] = sd[
+        "token_embedding.weight"
+    ]
+    out["text_model.embeddings.position_embedding.weight"] = sd[
+        "positional_embedding"
+    ]
+    out["text_model.final_layer_norm.weight"] = sd["ln_final.weight"]
+    out["text_model.final_layer_norm.bias"] = sd["ln_final.bias"]
+    i = 0
+    while f"transformer.resblocks.{i}.ln_1.weight" in sd:
+        src = f"transformer.resblocks.{i}"
+        dst = f"text_model.encoder.layers.{i}"
+        out[f"{dst}.layer_norm1.weight"] = sd[f"{src}.ln_1.weight"]
+        out[f"{dst}.layer_norm1.bias"] = sd[f"{src}.ln_1.bias"]
+        out[f"{dst}.layer_norm2.weight"] = sd[f"{src}.ln_2.weight"]
+        out[f"{dst}.layer_norm2.bias"] = sd[f"{src}.ln_2.bias"]
+        w = sd[f"{src}.attn.in_proj_weight"]
+        b = sd[f"{src}.attn.in_proj_bias"]
+        for j, proj in enumerate(("q_proj", "k_proj", "v_proj")):
+            out[f"{dst}.self_attn.{proj}.weight"] = w[
+                j * hidden_size : (j + 1) * hidden_size
+            ]
+            out[f"{dst}.self_attn.{proj}.bias"] = b[
+                j * hidden_size : (j + 1) * hidden_size
+            ]
+        out[f"{dst}.self_attn.out_proj.weight"] = sd[f"{src}.attn.out_proj.weight"]
+        out[f"{dst}.self_attn.out_proj.bias"] = sd[f"{src}.attn.out_proj.bias"]
+        out[f"{dst}.mlp.fc1.weight"] = sd[f"{src}.mlp.c_fc.weight"]
+        out[f"{dst}.mlp.fc1.bias"] = sd[f"{src}.mlp.c_fc.bias"]
+        out[f"{dst}.mlp.fc2.weight"] = sd[f"{src}.mlp.c_proj.weight"]
+        out[f"{dst}.mlp.fc2.bias"] = sd[f"{src}.mlp.c_proj.bias"]
+        i += 1
+    return out

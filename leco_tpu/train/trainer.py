@@ -1,0 +1,433 @@
+"""The training engine: one jitted ESD train step + the host-side loop.
+
+Re-architecture of train_lora.py / train_lora_xl.py (p1atdev/LECO). The
+reference runs, per iteration (train_lora.py:141-290):
+
+    [with LoRA ON ]  t_to UNet fwds  @ 2B CFG batch, guidance 3   (no grad)
+    [with LoRA OFF]  3 UNet fwds     @ 2B CFG batch, guidance 1   (no grad)
+    [with LoRA ON ]  1 UNet fwd      @ 2B CFG batch, guidance 1   (grad)
+    loss -> backward -> optimizer/lr step -> cuda cache flush
+
+Here the whole iteration is ONE jitted function:
+
+  * the inner partial-denoise is a `lax.fori_loop` with a traced bound
+    (`timesteps_to` stays a runtime scalar -> a single compilation serves
+    all 1..49);
+  * the three reference predictions run at guidance 1, where CFG is an
+    identity (uncond + 1*(text-uncond) == text, SURVEY.md quirk 6), so they
+    collapse into ONE batched 3B UNet call on the conditioned embeddings —
+    no uncond half, no separate calls: ~2.4x fewer UNet FLOPs/iter than the
+    reference at identical math;
+  * "with network:" scoping becomes which param tree each call sees: the
+    inner denoise and the differentiated target call get base|lora merged,
+    the reference predictions get the base tree only (LoRA layers detect the
+    absent lora leaves and skip the branch);
+  * the loss is computed on-device in fp32 (the reference round-trips all
+    four predictions through CPU fp32, train_lora.py:213-256);
+  * LoRA master params and optimizer state are fp32; the UNet runs in the
+    configured compute dtype (bf16 by default);
+  * data parallelism: batch sharded over a 1-D mesh when divisible,
+    params replicated, XLA inserts the grad all-reduce (SURVEY.md 2.4).
+
+Static per compiled step: (batch, height, width) — dynamic-resolution
+buckets each compile once and are cached by jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import time
+from pathlib import Path
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh
+
+from leco_tpu.config import RootConfig, parse_precision
+from leco_tpu.lora import (
+    LoRASpec,
+    count_lora_modules,
+    merge_params,
+    save_lora_weights,
+    split_lora_params,
+)
+from leco_tpu.models.unet import UNet2DConditionModel
+from leco_tpu.ops import schedulers as sched
+from leco_tpu.parallel import mesh as mesh_lib
+from leco_tpu.prompts import PromptEmbedsPair, PromptSettings, esd_loss
+from leco_tpu.train import diffusion as diff
+from leco_tpu.train.optim import get_lr_schedule, get_optimizer
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    """Everything the training loop needs, already on device."""
+
+    unet: UNet2DConditionModel  # constructed WITH the LoRASpec
+    base_params: dict  # frozen base tree (no lora leaves)
+    lora_params: dict  # fp32 lora tree (the trainable part)
+    scheduler: sched.NoiseScheduler
+    spec: LoRASpec
+    encode_fn: Optional[Callable] = None  # str -> (1,77,d) [or PromptEmbedsXL]
+    is_xl: bool = False
+
+    def free_text_encoder(self):
+        """Reference deletes tokenizer+text encoder after caching
+        (train_lora.py:134-137); here dropping the closure releases the
+        device buffers."""
+        self.encode_fn = None
+
+
+def make_train_step(
+    bundle: ModelBundle,
+    optimizer: optax.GradientTransformation,
+    max_denoising_steps: int,
+    mesh: Optional[Mesh] = None,
+    inner_guidance_scale: float = 3.0,  # hardcoded in the ref, train_lora.py:192
+):
+    """Build the jitted train step.
+
+    Returns step(base, lora, opt_state, key, pack, guidance_scale,
+    erase_sign, timesteps_to, *, height, width, shard_batch) ->
+    (lora, opt_state, loss)
+
+    `pack` is a dict of embedding batches built by `build_pack`:
+      inner_embeds (2B, 77, d), ref_embeds (3B, 77, d), target_embeds
+      (B, 77, d); for XL additionally inner_added / ref_added / target_added
+      dicts of {"text_embeds", "time_ids"}.
+    """
+    unet = bundle.unet
+    scheduler = bundle.scheduler
+    state_n = scheduler.set_timesteps(max_denoising_steps)
+    state_full = scheduler.set_timesteps(scheduler.num_train_timesteps)
+    t_ratio = scheduler.num_train_timesteps // max_denoising_steps
+
+    def apply_unet(params, sample, t, ctx, added):
+        return unet.apply({"params": params}, sample, t, ctx, added)
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("height", "width", "shard_batch"),
+        donate_argnames=("lora", "opt_state"),
+    )
+    def step(
+        base,
+        lora,
+        opt_state,
+        key,
+        pack,
+        guidance_scale,
+        erase_sign,
+        timesteps_to,
+        *,
+        height: int,
+        width: int,
+        shard_batch: bool,
+    ):
+        batch = pack["target_embeds"].shape[0]
+        k_latents, k_sched = jax.random.split(key)
+
+        latents = diff.get_initial_latents(
+            k_latents, state_n, batch, height, width
+        )
+        latents = mesh_lib.constrain_batch(latents, mesh, shard_batch)
+
+        params_on = merge_params(base, lora)
+
+        # ---- inner partial denoise, LoRA ON, guidance 3 (train_lora.py:179-193)
+        unet_on = lambda s, t, c, a: apply_unet(params_on, s, t, c, a)
+        denoised = diff.diffusion(
+            unet_on,
+            state_n,
+            k_sched,
+            latents,
+            pack["inner_embeds"],
+            timesteps_to,
+            guidance_scale=inner_guidance_scale,
+            added_cond_kwargs=pack.get("inner_added"),
+        )
+        denoised = jax.lax.stop_gradient(denoised)
+
+        # ---- training timestep on the 1000-step schedule (train_lora.py:195-199)
+        idx = timesteps_to * t_ratio
+        t = state_full.timesteps[idx]
+        in_scale = state_full.input_scales[idx]
+
+        # ---- 3 reference predictions, LoRA OFF, one batched call
+        # (guidance 1 == conditioned branch only; train_lora.py:202-237)
+        ref_in = jnp.tile(denoised, (3, 1, 1, 1)) * in_scale
+        ref_preds = apply_unet(
+            base, ref_in, t, pack["ref_embeds"], pack.get("ref_added")
+        )
+        ref_preds = ref_preds.astype(jnp.float32)
+        positive, neutral, uncond = jnp.split(ref_preds, 3, axis=0)
+
+        # ---- differentiated target prediction, LoRA ON (train_lora.py:244-256)
+        def loss_fn(lora_p):
+            params = merge_params(base, lora_p)
+            pred = apply_unet(
+                params,
+                denoised * in_scale,
+                t,
+                pack["target_embeds"],
+                pack.get("target_added"),
+            )
+            return esd_loss(
+                pred, positive, uncond, neutral, guidance_scale, erase_sign
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(lora)
+        updates, opt_state = optimizer.update(grads, opt_state, lora)
+        lora = optax.apply_updates(lora, updates)
+        return lora, opt_state, loss
+
+    return step
+
+
+def build_pack(pair: PromptEmbedsPair, is_xl: bool, height: int, width: int,
+               rng: Optional[np.random.Generator] = None) -> dict:
+    """Assemble the per-iteration embedding batches for one prompt pair.
+
+    SD: cache values are (1, 77, d) arrays. XL: PromptEmbedsXL with
+    .text_embeds (1, 77, 2048) and .pooled_embeds (1, 1280).
+    """
+    b = pair.batch_size
+
+    def seq(e):
+        return e.text_embeds if is_xl else e
+
+    target, positive, uncond, neutral = (
+        pair.target,
+        pair.positive,
+        pair.unconditional,
+        pair.neutral,
+    )
+    pack = {
+        # [uncond]*b + [target]*b — 2B CFG batch for the inner denoise
+        "inner_embeds": diff.concat_embeddings(seq(uncond), seq(target), b),
+        # [positive]*b + [neutral]*b + [uncond]*b — batched references
+        "ref_embeds": jnp.concatenate(
+            [
+                jnp.repeat(seq(positive), b, axis=0),
+                jnp.repeat(seq(neutral), b, axis=0),
+                jnp.repeat(seq(uncond), b, axis=0),
+            ],
+            axis=0,
+        ),
+        "target_embeds": jnp.repeat(seq(target), b, axis=0),
+    }
+    if is_xl:
+        time_ids = jnp.asarray(
+            diff.get_add_time_ids(
+                height, width, dynamic_crops=pair.dynamic_crops, rng=rng
+            )
+        )
+
+        def added(pooled_list, n):
+            pooled = jnp.concatenate(
+                [jnp.repeat(p.pooled_embeds, b, axis=0) for p in pooled_list],
+                axis=0,
+            )
+            return {
+                "text_embeds": pooled,
+                "time_ids": jnp.tile(time_ids, (n * b, 1)),
+            }
+
+        pack["inner_added"] = added([uncond, target], 2)
+        pack["ref_added"] = added([positive, neutral, uncond], 3)
+        pack["target_added"] = added([target], 1)
+    return pack
+
+
+def encode_prompt_pairs(
+    prompts: list[PromptSettings], encode_fn: Callable, is_xl: bool = False
+) -> list[PromptEmbedsPair]:
+    """Encode each unique prompt once (train_lora.py:106-132)."""
+    from leco_tpu.prompts import PromptEmbedsCache
+
+    cache = PromptEmbedsCache()
+    pairs = []
+    for settings in prompts:
+        for prompt in [
+            settings.target,
+            settings.positive,
+            settings.neutral,
+            settings.unconditional,
+        ]:
+            if cache[prompt] is None:
+                cache[prompt] = encode_fn(prompt)
+        pairs.append(
+            PromptEmbedsPair(
+                cache[settings.target],
+                cache[settings.positive],
+                cache[settings.unconditional],
+                cache[settings.neutral],
+                settings,
+            )
+        )
+    return pairs
+
+
+def train(
+    config: RootConfig,
+    prompts: list[PromptSettings],
+    bundle: ModelBundle,
+    mesh: Optional[Mesh] = None,
+    on_step: Optional[Callable] = None,
+) -> dict:
+    """The training loop (reference train(), train_lora.py:34-321).
+
+    Returns {"lora": final lora tree, "losses": [...], "saved": [paths]}.
+    `on_step(i, loss)` is an optional observer hook (used by tests/bench).
+    """
+    metadata = {
+        "prompts": ",".join(p.model_dump_json() for p in prompts),
+        "config": config.model_dump_json(),
+    }
+    save_path = Path(config.save.path)
+
+    if config.logging.verbose:
+        print(metadata)
+
+    wandb_run = None
+    if config.logging.use_wandb:
+        try:
+            import wandb
+
+            wandb_run = wandb.init(
+                project=f"LECO_{config.save.name}", config=metadata
+            )
+        except ImportError:
+            print("wandb not installed; continuing without it")
+
+    save_dtype = np.dtype(parse_precision(config.save.precision))
+
+    seed = config.train.seed
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed if seed is not None else rng.integers(2**31))
+
+    # ---- prompt encoding, once (train_lora.py:106-137)
+    assert bundle.encode_fn is not None, "bundle.encode_fn required"
+    pairs = encode_prompt_pairs(prompts, bundle.encode_fn, bundle.is_xl)
+    bundle.free_text_encoder()
+
+    print(f"create LoRA for U-Net: {count_lora_modules(bundle.lora_params)} modules.")
+    for settings in prompts:
+        print(settings)
+
+    # ---- optimizer (train_lora.py:80-95)
+    lr_schedule = get_lr_schedule(
+        config.train.lr_scheduler,
+        config.train.lr,
+        config.train.iterations,
+        lr_min=config.train.lr / 100,
+    )
+    optimizer = get_optimizer(
+        config.train.optimizer, lr_schedule, config.train.optimizer_args
+    )
+
+    lora = bundle.lora_params
+    opt_state = optimizer.init(lora)
+    base = bundle.base_params
+
+    step_fn = make_train_step(
+        bundle, optimizer, config.train.max_denoising_steps, mesh=mesh
+    )
+
+    pack_cache: dict = {}
+    losses: list[float] = []
+    saved: list[Path] = []
+
+    try:
+        from tqdm import tqdm
+
+        pbar = tqdm(range(config.train.iterations))
+    except ImportError:  # pragma: no cover
+        pbar = range(config.train.iterations)
+
+    for i in pbar:
+        pair = pairs[int(rng.integers(0, len(pairs)))]
+        timesteps_to = int(
+            rng.integers(1, config.train.max_denoising_steps)
+        )  # train_lora.py:154-156
+
+        height, width = pair.resolution, pair.resolution
+        if pair.dynamic_resolution:
+            height, width = diff.get_random_resolution_in_bucket(
+                rng, pair.resolution
+            )
+
+        if config.logging.verbose:
+            print("guidance_scale:", pair.guidance_scale)
+            print("resolution:", pair.resolution)
+            print("dynamic_resolution:", pair.dynamic_resolution)
+            if pair.dynamic_resolution:
+                print("bucketed resolution:", (height, width))
+            print("batch_size:", pair.batch_size)
+
+        # XL dynamic_crops re-rolls time_ids every iteration; cache otherwise
+        cache_key = (id(pair), height, width)
+        if bundle.is_xl and pair.dynamic_crops:
+            pack = build_pack(pair, bundle.is_xl, height, width, rng=rng)
+        elif cache_key in pack_cache:
+            pack = pack_cache[cache_key]
+        else:
+            pack = pack_cache[cache_key] = build_pack(
+                pair, bundle.is_xl, height, width
+            )
+
+        key, sub = jax.random.split(key)
+        shard = mesh_lib.shardable_batch(pair.batch_size, mesh)
+        lora, opt_state, loss = step_fn(
+            base,
+            lora,
+            opt_state,
+            sub,
+            pack,
+            jnp.float32(pair.guidance_scale),
+            jnp.float32(pair.erase_sign),
+            jnp.int32(timesteps_to),
+            height=height,
+            width=width,
+            shard_batch=shard,
+        )
+
+        loss_val = float(loss)
+        losses.append(loss_val)
+        if hasattr(pbar, "set_description"):
+            pbar.set_description(f"Loss*1k: {loss_val * 1000:.4f}")
+        if wandb_run is not None:
+            wandb_run.log(
+                {"loss": loss_val, "iteration": i, "lr": float(lr_schedule(i))}
+            )
+        if on_step is not None:
+            on_step(i, loss_val)
+
+        # periodic save (train_lora.py:292-302)
+        if (
+            i % config.save.per_steps == 0
+            and i != 0
+            and i != config.train.iterations - 1
+        ):
+            print("Saving...")
+            save_path.mkdir(parents=True, exist_ok=True)
+            p = save_path / f"{config.save.name}_{i}steps.safetensors"
+            save_lora_weights(p, lora, bundle.spec, save_dtype, metadata)
+            saved.append(p)
+
+    print("Saving...")
+    save_path.mkdir(parents=True, exist_ok=True)
+    p = save_path / f"{config.save.name}_last.safetensors"
+    save_lora_weights(p, lora, bundle.spec, save_dtype, metadata)
+    saved.append(p)
+
+    if wandb_run is not None:
+        wandb_run.finish()
+    print("Done.")
+
+    return {"lora": lora, "losses": losses, "saved": saved}

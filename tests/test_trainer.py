@@ -1,0 +1,198 @@
+"""End-to-end training loop on the tiny UNet (CPU): the SURVEY.md section 4
+"fake model" strategy. Covers: full train() with save cadence, loss
+finiteness, LoRA actually updating, erase vs enhance signs, every scheduler
+kind through the fori_loop sampler, and optimizer/LR factories."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax.traverse_util import flatten_dict
+
+from leco_tpu.config import (
+    LoggingConfig,
+    NetworkConfig,
+    OtherConfig,
+    PretrainedModelConfig,
+    RootConfig,
+    SaveConfig,
+    TrainConfig,
+)
+from leco_tpu.prompts import PromptSettings
+from leco_tpu.testing import make_random_bundle
+from leco_tpu.train.optim import get_lr_schedule, get_optimizer, parse_optimizer_args
+from leco_tpu.train.trainer import build_pack, encode_prompt_pairs, train
+
+
+def tiny_config(tmp_path, iterations=3, **train_kw):
+    return RootConfig(
+        prompts_file="unused.yaml",
+        pretrained_model=PretrainedModelConfig(name_or_path="random://tiny"),
+        network=NetworkConfig(rank=4, alpha=1.0),
+        train=TrainConfig(
+            iterations=iterations,
+            max_denoising_steps=3,
+            lr=1e-3,
+            seed=0,
+            precision="float32",
+            **train_kw,
+        ),
+        save=SaveConfig(name="tiny", path=str(tmp_path), per_steps=2),
+        logging=LoggingConfig(),
+        other=OtherConfig(),
+    )
+
+
+def tiny_prompts(**kw):
+    defaults = dict(target="van gogh", resolution=64, batch_size=1)
+    defaults.update(kw)
+    return [PromptSettings(**defaults)]
+
+
+class TestEndToEnd:
+    def test_train_runs_and_saves(self, tmp_path):
+        bundle = make_random_bundle()
+        config = tiny_config(tmp_path, iterations=3)
+        result = train(config, tiny_prompts(), bundle)
+        assert len(result["losses"]) == 3
+        assert all(np.isfinite(l) for l in result["losses"])
+        # periodic save at i==2? per_steps=2 -> i=2 == iterations-1 so only last
+        final = tmp_path / "tiny_last.safetensors"
+        assert final.exists()
+        # the export is loadable and has the right key layout
+        from safetensors.numpy import load_file
+
+        state = load_file(final)
+        assert any(k.endswith(".lora_down.weight") for k in state)
+        assert any(k.endswith(".alpha") for k in state)
+
+    def test_lora_params_change(self, tmp_path):
+        bundle = make_random_bundle()
+        before = jax.tree.map(np.asarray, bundle.lora_params)
+        config = tiny_config(tmp_path, iterations=2)
+        result = train(config, tiny_prompts(), bundle)
+        after = result["lora"]
+        changed = False
+        for (k, b), (_, a) in zip(
+            sorted(flatten_dict(before).items()),
+            sorted(flatten_dict(after).items()),
+        ):
+            if not np.allclose(np.asarray(b), np.asarray(a)):
+                changed = True
+        assert changed, "training did not update LoRA params"
+
+    def test_enhance_action(self, tmp_path):
+        bundle = make_random_bundle()
+        config = tiny_config(tmp_path, iterations=2)
+        prompts = tiny_prompts(action="enhance", positive="van gogh, oil")
+        result = train(config, prompts, bundle)
+        assert all(np.isfinite(l) for l in result["losses"])
+
+    def test_multi_prompt_dynamic_resolution(self, tmp_path):
+        bundle = make_random_bundle()
+        config = tiny_config(tmp_path, iterations=3)
+        prompts = [
+            PromptSettings(target="a", resolution=64, batch_size=1),
+            PromptSettings(
+                target="b", resolution=128, dynamic_resolution=True, batch_size=1
+            ),
+        ]
+        result = train(config, prompts, bundle)
+        assert len(result["losses"]) == 3
+
+    @pytest.mark.parametrize("kind", ["ddim", "ddpm", "euler_a", "lms"])
+    def test_all_schedulers(self, kind, tmp_path):
+        bundle = make_random_bundle(scheduler_kind=kind)
+        config = tiny_config(tmp_path, iterations=2, noise_scheduler=kind)
+        result = train(config, tiny_prompts(), bundle)
+        assert all(np.isfinite(l) for l in result["losses"])
+
+    def test_v_prediction(self, tmp_path):
+        bundle = make_random_bundle(prediction_type="v_prediction")
+        config = tiny_config(tmp_path, iterations=2)
+        result = train(config, tiny_prompts(), bundle)
+        assert all(np.isfinite(l) for l in result["losses"])
+
+
+class TestPackBuilding:
+    def test_pack_shapes(self):
+        bundle = make_random_bundle()
+        pairs = encode_prompt_pairs(
+            tiny_prompts(batch_size=2), bundle.encode_fn
+        )
+        pack = build_pack(pairs[0], is_xl=False, height=64, width=64)
+        d = bundle.unet.config.cross_attention_dim
+        assert pack["inner_embeds"].shape == (4, 77, d)
+        assert pack["ref_embeds"].shape == (6, 77, d)
+        assert pack["target_embeds"].shape == (2, 77, d)
+
+    def test_unique_prompts_encoded_once(self):
+        calls = []
+        bundle = make_random_bundle()
+        inner = bundle.encode_fn
+
+        def counting(p):
+            calls.append(p)
+            return inner(p)
+
+        bundle.encode_fn = counting
+        prompts = [
+            PromptSettings(target="x"),  # positive=x, uncond="", neutral=""
+            PromptSettings(target="x", positive="y"),
+        ]
+        encode_prompt_pairs(prompts, bundle.encode_fn)
+        assert sorted(calls) == ["", "x", "y"]
+
+
+class TestOptimFactories:
+    def test_parse_optimizer_args(self):
+        assert parse_optimizer_args("weight_decay=0.1 betas=(0.9,0.95)") == {
+            "weight_decay": 0.1,
+            "betas": (0.9, 0.95),
+        }
+        assert parse_optimizer_args("") == {}
+
+    @pytest.mark.parametrize(
+        "name", ["adam", "adamw", "lion", "adam8bit", "lion8bit", "prodigy",
+                 "dadaptadam"]
+    )
+    def test_optimizers_step(self, name):
+        opt = get_optimizer(name, lambda i: 1e-3)
+        params = {"w": jnp.ones((4, 4))}
+        state = opt.init(params)
+        grads = {"w": jnp.ones((4, 4)) * 0.1}
+        updates, state = opt.update(grads, state, params)
+        new = jax.tree.map(lambda p, u: p + u, params, updates)
+        assert np.isfinite(np.asarray(new["w"])).all()
+
+    def test_unknown_optimizer(self):
+        with pytest.raises(ValueError):
+            get_optimizer("sgd", lambda i: 1e-3)
+
+    def test_lr_schedules(self):
+        lr, iters = 1e-4, 1000
+        cosine = get_lr_schedule("cosine", lr, iters)
+        assert float(cosine(0)) == pytest.approx(lr)
+        assert float(cosine(iters)) == pytest.approx(lr / 100)
+        assert float(cosine(iters // 2)) == pytest.approx(
+            (lr + lr / 100) / 2, rel=1e-3
+        )
+
+        const = get_lr_schedule("constant", lr, iters)
+        assert float(const(500)) == pytest.approx(lr)
+
+        step = get_lr_schedule("step", lr, iters)
+        assert float(step(0)) == pytest.approx(lr)
+        assert float(step(iters)) == pytest.approx(lr * 0.999**100, rel=1e-4)
+
+        linear = get_lr_schedule("linear", lr, iters)
+        assert float(linear(0)) == pytest.approx(0.5 * lr)
+        assert float(linear(10)) == pytest.approx(lr)
+
+        restarts = get_lr_schedule("cosine_with_restarts", lr, iters)
+        assert float(restarts(jnp.float32(0))) == pytest.approx(lr, rel=1e-3)
+        # at the first restart boundary (t=T_0=100) lr resets to max
+        assert float(restarts(jnp.float32(100))) == pytest.approx(lr, rel=1e-3)
+
+        with pytest.raises(ValueError):
+            get_lr_schedule("warmup", lr, iters)
