@@ -20,7 +20,7 @@ from typing import Literal, Optional
 
 import jax.numpy as jnp
 import yaml
-from pydantic import BaseModel, ConfigDict
+from pydantic import BaseModel, ConfigDict, model_validator
 
 PRECISION_TYPES = Literal["fp32", "fp16", "bf16", "float32", "float16", "bfloat16"]
 NETWORK_TYPES = Literal["lierla", "c3lier"]
@@ -87,10 +87,25 @@ class RootConfig(_Section):
     prompts_file: str
     pretrained_model: PretrainedModelConfig
     network: NetworkConfig = NetworkConfig()
+    # Optional so explicit `train: null` YAML round-trips like the reference
+    # (config_util.py:60-72); load_config_from_yaml and the model validator
+    # default-fill missing sections.
     train: Optional[TrainConfig] = None
     save: Optional[SaveConfig] = None
     logging: Optional[LoggingConfig] = None
     other: Optional[OtherConfig] = None
+
+    @model_validator(mode="after")
+    def _fill_sections(self):
+        if self.train is None:
+            self.train = TrainConfig()
+        if self.save is None:
+            self.save = SaveConfig()
+        if self.logging is None:
+            self.logging = LoggingConfig()
+        if self.other is None:
+            self.other = OtherConfig()
+        return self
 
 
 def parse_precision(precision: str) -> jnp.dtype:

@@ -1,0 +1,87 @@
+"""CLI entry point: SD v1.x / v2.x LoRA-ESD training.
+
+Mirrors the reference's `python train_lora.py --config_file <yaml>`
+(train_lora.py:333-343 in p1atdev/LECO) — the entire CLI surface is one
+flag. The heavy lifting lives in leco_tpu.train.trainer.
+"""
+
+import argparse
+
+import jax.numpy as jnp
+
+
+def main(args):
+    from leco_tpu.config import load_config_from_yaml, parse_precision
+    from leco_tpu.lora import LoRASpec
+    from leco_tpu.models.loader import load_models
+    from leco_tpu.ops.attention import default_backend
+    from leco_tpu.parallel.mesh import get_mesh
+    from leco_tpu.prompts import load_prompts_from_yaml
+    from leco_tpu.train.trainer import ModelBundle, train
+    from leco_tpu.utils.debug import check_frozen_params, check_trainable_params
+
+    config = load_config_from_yaml(args.config_file)
+    prompts = load_prompts_from_yaml(config.prompts_file)
+
+    weight_dtype = parse_precision(config.train.precision)
+
+    spec = LoRASpec(
+        rank=config.network.rank,
+        alpha=config.network.alpha,
+        network_type=config.network.type,
+        train_method=config.network.training_method,
+    )
+
+    use_flash = config.other.use_flash_attention
+    if use_flash is None:
+        use_flash = config.other.use_xformers or default_backend() == "flash"
+    backend = "flash" if use_flash else "xla"
+
+    models = load_models(
+        config.pretrained_model.name_or_path,
+        scheduler_name=config.train.noise_scheduler,
+        v2=config.pretrained_model.v2,
+        v_pred=config.pretrained_model.v_pred,
+        weight_dtype=weight_dtype,
+        clip_skip=config.pretrained_model.clip_skip,
+        lora_spec=spec,
+        attn_backend=backend,
+        remat=config.train.checkpoint_unet,
+    )
+
+    tokenizer = models.tokenizer
+    te = models.text_encoder
+
+    def encode_fn(prompt: str):
+        """tokenize + CLIP encode (train_util.encode_prompts,
+        train_util.py:77-85): final-LN last hidden state."""
+        tokens = jnp.asarray(tokenizer([prompt]))
+        last, _, _ = te.model.apply({"params": te.params}, tokens)
+        return last
+
+    bundle = ModelBundle(
+        unet=models.unet,
+        base_params=models.unet_base_params,
+        lora_params=models.unet_lora_params,
+        scheduler=models.scheduler,
+        spec=spec,
+        encode_fn=encode_fn,
+        is_xl=False,
+    )
+
+    check_trainable_params(bundle.lora_params)
+    check_frozen_params(bundle.base_params)
+
+    mesh = get_mesh() if config.train.data_parallel else None
+    train(config, prompts, bundle, mesh=mesh)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--config_file",
+        required=True,
+        help="Config file for training.",
+    )
+    args = parser.parse_args()
+    main(args)
