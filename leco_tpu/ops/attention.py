@@ -20,9 +20,6 @@ import functools
 import jax.numpy as jnp
 from einops import rearrange
 
-_FLASH_MIN_Q_LEN = 256  # below this the kernel overhead beats the win
-
-
 def _xla_attention(q, k, v, scale: float, upcast: bool):
     """q: (B, Nq, H, D); k, v: (B, Nk, H, D) -> (B, Nq, H, D)."""
     dtype = q.dtype
@@ -62,9 +59,12 @@ def multi_head_attention(
     kh = rearrange(k, "b n (h d) -> b n h d", h=num_heads)
     vh = rearrange(v, "b n (h d) -> b n h d", h=num_heads)
 
-    if backend == "flash" and q.shape[1] >= _FLASH_MIN_Q_LEN:
-        from leco_tpu.ops.flash_attention import flash_attention
+    use_flash = False
+    if backend == "flash":
+        from leco_tpu.ops.flash_attention import flash_attention, supports
 
+        use_flash = supports(q.shape[1], k.shape[1])
+    if use_flash:
         out = flash_attention(qh, kh, vh, scale=scale)
     else:
         out = _xla_attention(qh, kh, vh, scale, upcast)

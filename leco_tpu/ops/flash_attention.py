@@ -1,0 +1,129 @@
+"""Pallas TPU fused attention kernel — the xformers replacement.
+
+Workload (SD UNet self-attention over spatial tokens): no mask, no causal,
+Nq == Nk in {64 .. 16384}, always a multiple of 64 (latent h/8 * w/8 where
+h, w are multiples of 64 -> N = 64*a*b), head_dim in {40, 64, 80, 160}.
+
+Design: grid over (batch*heads, q_blocks). Each program holds one q block
+plus the FULL K and V for its (batch, head) in VMEM and computes an exact
+softmax in fp32 — at SD sizes (Nk <= 16k, D <= 160) K/V fit comfortably in
+the ~16 MB VMEM, so no online-softmax streaming is needed; the fusion win
+(never materializing the N x N matrix in HBM, unlike naive attention) is
+retained. Matmuls run on the MXU with fp32 accumulation.
+
+Backward: custom VJP that recomputes the probabilities with plain XLA einsum
+(flash-style recompute, no residual P). In the ESD training step only the
+B-sized target prediction is differentiated — the t_to-step inner loop and
+the 3B reference predictions are forward-only — so the backward's N x N
+materialization is a tiny slice of the step.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from einops import rearrange
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_q_block(n: int) -> int:
+    for bq in (512, 256, 128, 64, 32, 16, 8):
+        if n % bq == 0:
+            return bq
+    return 0
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    q = q_ref[0]  # (Bq, D)
+    k = k_ref[0]  # (Nk, D)
+    v = v_ref[0]  # (Nk, D)
+    logits = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    logits = logits * scale
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = (p / denom).astype(v.dtype)
+    out = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _flash_fwd_3d(q3, k3, v3, scale: float):
+    """q3: (BH, Nq, D); k3/v3: (BH, Nk, D)."""
+    bh, nq, d = q3.shape
+    nk = k3.shape[1]
+    bq = _pick_q_block(nq)
+    assert bq, f"unsupported Nq={nq}"
+
+    grid = (bh, nq // bq)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, nq, d), q3.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * bh * nq * nk * d,
+            bytes_accessed=(q3.size + k3.size + v3.size) * q3.dtype.itemsize * 2,
+            transcendentals=bh * nq * nk,
+        ),
+    )(q3, k3, v3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_3d(q3, k3, v3, scale):
+    return _flash_fwd_3d(q3, k3, v3, scale)
+
+
+def _flash_3d_fwd(q3, k3, v3, scale):
+    return _flash_fwd_3d(q3, k3, v3, scale), (q3, k3, v3)
+
+
+def _flash_3d_bwd(scale, residuals, g):
+    q3, k3, v3 = residuals
+    f32 = jnp.float32
+    q = q3.astype(f32)
+    k = k3.astype(f32)
+    v = v3.astype(f32)
+    g = g.astype(f32)
+    logits = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+    p = jax.nn.softmax(logits, axis=-1)
+    dv = jnp.einsum("bqk,bqd->bkd", p, g)
+    dp = jnp.einsum("bqd,bkd->bqk", g, v)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bqk,bkd->bqd", ds, k) * scale
+    dk = jnp.einsum("bqk,bqd->bkd", ds, q) * scale
+    return dq.astype(q3.dtype), dk.astype(k3.dtype), dv.astype(v3.dtype)
+
+
+_flash_3d.defvjp(_flash_3d_fwd, _flash_3d_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float
+) -> jnp.ndarray:
+    """q: (B, Nq, H, D); k, v: (B, Nk, H, D) -> (B, Nq, H, D)."""
+    b, nq, h, d = q.shape
+    q3 = rearrange(q, "b n h d -> (b h) n d")
+    k3 = rearrange(k, "b n h d -> (b h) n d")
+    v3 = rearrange(v, "b n h d -> (b h) n d")
+    o3 = _flash_3d(q3, k3, v3, scale)
+    return rearrange(o3, "(b h) n d -> b n h d", b=b, h=h)
+
+
+def supports(nq: int, nk: int) -> bool:
+    """Kernel applicability: self-attention-sized sequences."""
+    return nq >= 256 and nk >= 256 and _pick_q_block(nq) > 0 and nk % 8 == 0

@@ -96,12 +96,13 @@ class TestDPEquivalence:
         loss_r, lora_r = _run_step(mesh, shard=False)
         loss_s, lora_s = _run_step(mesh, shard=True)
         assert loss_r == pytest.approx(loss_s, rel=2e-4)
-        for (k1, a), (k2, b) in zip(
-            sorted(jax.tree_util.tree_leaves_with_path(lora_r)),
-            sorted(jax.tree_util.tree_leaves_with_path(lora_s)),
-        ):
+        from flax.traverse_util import flatten_dict
+
+        f_r, f_s = flatten_dict(lora_r), flatten_dict(lora_s)
+        assert set(f_r) == set(f_s)
+        for k in f_r:
             np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), atol=1e-5
+                np.asarray(f_r[k]), np.asarray(f_s[k]), atol=1e-5, err_msg=str(k)
             )
 
     def test_dryrun_multichip(self):
