@@ -62,6 +62,8 @@ class TrainConfig(_Section):
     seed: Optional[int] = None  # explicit PRNG seed; None -> OS entropy
     data_parallel: bool = True  # shard the batch over the device mesh
     checkpoint_unet: bool = True  # remat the UNet blocks in the grad pass
+    save_state: bool = False  # orbax full-state snapshots at save cadence
+    resume: bool = False  # resume from the latest snapshot in save.path/state
 
 
 class SaveConfig(_Section):

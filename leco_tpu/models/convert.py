@@ -331,3 +331,59 @@ def ldm_openclip_to_hf(
         out[f"{dst}.mlp.fc2.bias"] = sd[f"{src}.mlp.c_proj.bias"]
         i += 1
     return out
+
+
+def torch_vae_decoder_to_flax(state_dict: Mapping[str, np.ndarray]) -> dict:
+    """diffusers AutoencoderKL state dict -> flax params for
+    `leco_tpu.models.vae.VAEDecoder` (decoder half + post_quant_conv only).
+    Handles both modern attention names (to_q/to_out.0) and the legacy VAE
+    names (query/key/value/proj_attn, 1x1-conv-shaped)."""
+    legacy_attn = {
+        "query": "to_q",
+        "key": "to_k",
+        "value": "to_v",
+        "proj_attn": "to_out_0",
+        "q": "to_q",
+        "k": "to_k",
+        "v": "to_v",
+        "proj_out": "to_out_0",
+    }
+    flat = {}
+    for name, value in state_dict.items():
+        value = np.asarray(value)
+        if name.startswith("post_quant_conv."):
+            leaf = name.split(".")[-1]
+            path, value = _convert_leaf(("post_quant_conv", leaf), value)
+            flat[path] = value
+            continue
+        if not name.startswith("decoder."):
+            continue
+        tokens = name[len("decoder.") :].split(".")
+        # fold numeric segments into the previous token, then join the block
+        # levels into the flat module names VAEDecoder uses
+        folded: list[str] = []
+        for tok in tokens:
+            if tok.isdigit() and folded:
+                folded[-1] = f"{folded[-1]}_{tok}"
+            else:
+                folded.append(tok)
+        # decoder.mid_block.resnets_0.conv1.weight ->
+        #   ("mid_block_resnets_0", "conv1", "weight")
+        if folded[0] in ("mid_block", "up_blocks") or folded[0].startswith(
+            ("mid_block", "up_blocks")
+        ):
+            head = "_".join(folded[:-2]) if len(folded) > 2 else folded[0]
+            rest = folded[len(folded) - 2 :]
+            # attention submodule names may need the legacy mapping
+            if rest[0] in legacy_attn:
+                rest[0] = legacy_attn[rest[0]]
+                if value.ndim == 4:  # legacy 1x1-conv attention projections
+                    value = value[:, :, 0, 0]
+            if rest[0] == "to_out":  # "to_out.0" folded into "to_out_0"
+                rest[0] = "to_out_0"
+            path = (head,) + tuple(rest)
+        else:
+            path = tuple(folded)
+        path, value = _convert_leaf(path, value)
+        flat[path] = value
+    return unflatten_dict(flat)

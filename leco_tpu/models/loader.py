@@ -434,3 +434,41 @@ def load_models_xl(
         tokenizer_2=tokenizer_2,
         text_encoder_2=encoders[1],
     )
+
+
+def load_vae_decoder(
+    pretrained_model_name_or_path: str,
+    weight_dtype=jnp.float32,
+):
+    """Load the VAE decoder from a diffusers dir's `vae/` subfolder (or a
+    standalone VAE dir like madebyollin/sdxl-vae-fp16-fix,
+    test/infer_xl.py:21). Returns (VAEDecoder module, params)."""
+    from leco_tpu.models.vae import VAEDecoder, VAEDecoderConfig
+
+    path = pretrained_model_name_or_path
+    for sub in ("vae", ""):
+        d = os.path.join(path, sub) if sub else path
+        if os.path.exists(os.path.join(d, "config.json")):
+            with open(os.path.join(d, "config.json")) as f:
+                cfg_json = json.load(f)
+            if "latent_channels" in cfg_json or "scaling_factor" in cfg_json:
+                path = d
+                break
+    else:
+        raise FileNotFoundError(f"no VAE config.json under {path}")
+
+    config = VAEDecoderConfig(
+        latent_channels=cfg_json.get("latent_channels", 4),
+        out_channels=cfg_json.get("out_channels", 3),
+        block_out_channels=tuple(
+            cfg_json.get("block_out_channels", (128, 256, 512, 512))
+        ),
+        layers_per_block=cfg_json.get("layers_per_block", 2),
+        norm_num_groups=cfg_json.get("norm_num_groups", 32),
+        scaling_factor=cfg_json.get("scaling_factor", 0.18215),
+    )
+    sd = _load_component_tensors(path)
+    params = convert.torch_vae_decoder_to_flax(sd)
+    params = jax.tree.map(lambda x: jnp.asarray(x, weight_dtype), params)
+    vae = VAEDecoder(config=config, dtype=weight_dtype, param_dtype=weight_dtype)
+    return vae, params

@@ -1,0 +1,114 @@
+"""Full train-state checkpoint/resume (orbax).
+
+The reference saves LoRA weights only and cannot resume — optimizer state,
+LR position and the iteration counter are lost on crash
+(SURVEY.md section 5.4; train_lora.py:292-302). This module adds what it
+lacked: a periodic full-state snapshot (lora params, optimizer state,
+iteration, PRNG key, host RNG state) and a restore path.
+
+Export-format compatibility is untouched: the .safetensors LoRA files are
+still written by leco_tpu.lora.save_lora_weights; this state lives in a
+separate `<save.path>/state/` directory.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_train_state(
+    directory: str | os.PathLike,
+    *,
+    lora,
+    opt_state,
+    iteration: int,
+    key,
+    rng: np.random.Generator,
+) -> str:
+    """Snapshot everything needed to resume mid-run."""
+    import orbax.checkpoint as ocp
+
+    import json
+
+    directory = os.fspath(directory)
+    path = os.path.join(os.path.abspath(directory), f"step_{iteration}")
+    state = {
+        "lora": lora,
+        "opt_state": opt_state,
+        "iteration": np.asarray(iteration),
+        "key": np.asarray(key),
+    }
+    ckptr = _checkpointer()
+    ckptr.save(path, state, force=True)
+    # host RNG state: JSON sidecar (PCG64 state holds 128-bit ints that do
+    # not fit fixed-width array dtypes)
+    with open(path + ".rng.json", "w") as f:
+        json.dump(rng.bit_generator.state, f)
+    return path
+
+
+def latest_step(directory: str | os.PathLike) -> Optional[int]:
+    directory = os.fspath(directory)
+    if not os.path.isdir(directory):
+        return None
+    steps = []
+    for name in os.listdir(directory):
+        if name.startswith("step_"):
+            try:
+                steps.append(int(name.split("_", 1)[1]))
+            except ValueError:
+                pass
+    return max(steps) if steps else None
+
+
+def restore_train_state(
+    directory: str | os.PathLike,
+    iteration: Optional[int] = None,
+    like: Optional[dict] = None,
+) -> Optional[dict]:
+    """Restore the latest (or a specific) snapshot; None if absent.
+
+    `like` = {"lora": ..., "opt_state": ...} structure templates — needed to
+    rebuild optax NamedTuple states, which orbax would otherwise return as
+    plain dicts."""
+    directory = os.fspath(directory)
+    step = iteration if iteration is not None else latest_step(directory)
+    if step is None:
+        return None
+    path = os.path.join(os.path.abspath(directory), f"step_{step}")
+    ckptr = _checkpointer()
+    import json
+
+    item = None
+    if like is not None:
+        item = {
+            "lora": like["lora"],
+            "opt_state": like["opt_state"],
+            "iteration": np.asarray(0),
+            "key": np.zeros(2, dtype=np.uint32),
+        }
+    state = ckptr.restore(path, item=item)
+    state["iteration"] = int(np.asarray(state["iteration"]))
+    state["key"] = jax.numpy.asarray(state["key"])
+    with open(path + ".rng.json") as f:
+        state["rng"] = _decode_rng(json.load(f))
+    return state
+
+
+def _decode_rng(state: dict) -> np.random.Generator:
+    rng = np.random.default_rng()
+    assert state["bit_generator"] == rng.bit_generator.state["bit_generator"], (
+        f"unsupported bit generator {state['bit_generator']}"
+    )
+    rng.bit_generator.state = state
+    return rng

@@ -335,6 +335,24 @@ def train(
     opt_state = optimizer.init(lora)
     base = bundle.base_params
 
+    # ---- optional full-state resume (leco-tpu extension; the reference
+    # cannot resume, SURVEY.md section 5.4)
+    state_dir = save_path / "state"
+    start_iteration = 0
+    if config.train.resume:
+        from leco_tpu.train import checkpoint as ckpt
+
+        restored = ckpt.restore_train_state(
+            state_dir, like={"lora": lora, "opt_state": opt_state}
+        )
+        if restored is not None:
+            lora = jax.tree.map(jnp.asarray, restored["lora"])
+            opt_state = jax.tree.map(jnp.asarray, restored["opt_state"])
+            start_iteration = restored["iteration"] + 1
+            key = restored["key"]
+            rng = restored["rng"]
+            print(f"resumed from {state_dir} at iteration {start_iteration}")
+
     step_fn = make_train_step(
         bundle, optimizer, config.train.max_denoising_steps, mesh=mesh
     )
@@ -346,9 +364,9 @@ def train(
     try:
         from tqdm import tqdm
 
-        pbar = tqdm(range(config.train.iterations))
+        pbar = tqdm(range(start_iteration, config.train.iterations))
     except ImportError:  # pragma: no cover
-        pbar = range(config.train.iterations)
+        pbar = range(start_iteration, config.train.iterations)
 
     for i in pbar:
         pair = pairs[int(rng.integers(0, len(pairs)))]
@@ -419,6 +437,17 @@ def train(
             p = save_path / f"{config.save.name}_{i}steps.safetensors"
             save_lora_weights(p, lora, bundle.spec, save_dtype, metadata)
             saved.append(p)
+            if config.train.save_state:
+                from leco_tpu.train import checkpoint as ckpt
+
+                ckpt.save_train_state(
+                    state_dir,
+                    lora=lora,
+                    opt_state=opt_state,
+                    iteration=i,
+                    key=key,
+                    rng=rng,
+                )
 
     print("Saving...")
     save_path.mkdir(parents=True, exist_ok=True)
