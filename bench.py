@@ -21,6 +21,9 @@ BASELINE_ITS_PER_SEC = 0.083  # reference Colab figure (BASELINE.md)
 
 
 def main():
+    from leco_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from leco_tpu.lora import LoRASpec
     from leco_tpu.ops.attention import default_backend
     from leco_tpu.models.unet import sd15_config
@@ -31,6 +34,12 @@ def main():
 
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
+    t0 = time.perf_counter()
+
+    def stage(msg):
+        print(f"[bench +{time.perf_counter() - t0:6.1f}s] {msg}", flush=True)
+
+    stage(f"platform={platform}")
 
     bundle = make_random_bundle(
         config=sd15_config(),
@@ -53,6 +62,7 @@ def main():
     lora = bundle.lora_params
     opt_state = optimizer.init(lora)
     step_fn = make_train_step(bundle, optimizer, max_steps)
+    stage("bundle + step built")
 
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
@@ -77,6 +87,7 @@ def main():
     # warmup / compile (one compilation serves every timesteps_to)
     lora, opt_state, loss, key = run_iter(lora, opt_state, key, 25)
     jax.block_until_ready(loss)
+    stage("compiled + warm (1 iter @ t_to=25)")
 
     # timed: the real t_to ~ U[1, 50) distribution (train_lora.py:154-156).
     # Use a fixed seeded sample so runs are comparable across rounds.
@@ -87,6 +98,7 @@ def main():
         lora, opt_state, loss, key = run_iter(lora, opt_state, key, int(t_to))
     jax.block_until_ready(loss)
     elapsed = time.perf_counter() - start
+    stage(f"timed {n_iters} iters in {elapsed:.1f}s")
 
     its_per_sec = n_iters / elapsed
     print(

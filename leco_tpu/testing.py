@@ -86,7 +86,12 @@ def make_random_bundle(
             "text_embeds": jnp.zeros((1, pooled_dim), dtype),
             "time_ids": jnp.zeros((1, 6), dtype),
         }
-    params = unet.init(jax.random.PRNGKey(seed), sample, 0, ctx, added)["params"]
+    # jit the init: unjitted it dispatches thousands of tiny ops one by one
+    # (minutes through a remote-TPU tunnel); one compiled program is seconds
+    init_fn = jax.jit(
+        lambda key: unet.init(key, sample, jnp.zeros((), jnp.float32), ctx, added)
+    )
+    params = init_fn(jax.random.PRNGKey(seed))["params"]
     base, lora = split_lora_params(params)
 
     pooled_dim = 1280

@@ -12,6 +12,9 @@ import jax.numpy as jnp
 
 
 def main(args):
+    from leco_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from leco_tpu.config import load_config_from_yaml, parse_precision
     from leco_tpu.lora import LoRASpec
     from leco_tpu.models.loader import load_models_xl
