@@ -76,6 +76,10 @@ class SaveConfig(_Section):
 class LoggingConfig(_Section):
     use_wandb: bool = False
     verbose: bool = False
+    # leco-tpu extension: fetch the loss from device every N iterations.
+    # 1 reproduces the reference's per-step loss display; larger values let
+    # the host run ahead of the device (async dispatch) for max throughput.
+    interval: int = 1
 
 
 class OtherConfig(_Section):

@@ -93,6 +93,15 @@ class CLIPTokenizer:
             pad_token_id if pad_token_id is not None else self.eos_token_id
         )
         self._bpe_cache: dict[str, tuple[str, ...]] = {}
+        # native C++ merge engine (leco_tpu/native/bpe.cpp); pure-Python
+        # fallback when unavailable
+        self._native = None
+        try:
+            from leco_tpu.native import NativeBPE
+
+            self._native = NativeBPE(vocab, merges)
+        except Exception:
+            self._native = None
 
     # ----------------------------------------------------------- constructors
     @classmethod
@@ -167,6 +176,12 @@ class CLIPTokenizer:
         ids: list[int] = []
         for token in _PATTERN.findall(text):
             token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
+            if self._native is not None:
+                try:
+                    ids.extend(self._native.encode_word(token))
+                    continue
+                except KeyError:
+                    pass  # fall through to the Python path
             for piece in self._bpe(token):
                 ids.append(self.vocab[piece])
         return ids

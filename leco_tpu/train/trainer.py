@@ -359,6 +359,7 @@ def train(
 
     pack_cache: dict = {}
     losses: list[float] = []
+    pending_losses: list = []
     saved: list[Path] = []
 
     try:
@@ -415,16 +416,21 @@ def train(
             shard_batch=shard,
         )
 
-        loss_val = float(loss)
-        losses.append(loss_val)
-        if hasattr(pbar, "set_description"):
-            pbar.set_description(f"Loss*1k: {loss_val * 1000:.4f}")
-        if wandb_run is not None:
-            wandb_run.log(
-                {"loss": loss_val, "iteration": i, "lr": float(lr_schedule(i))}
-            )
-        if on_step is not None:
-            on_step(i, loss_val)
+        # async loss drain: with logging.interval > 1 the host keeps
+        # dispatching steps while earlier losses are still in flight
+        pending_losses.append((i, loss))
+        while len(pending_losses) >= max(1, config.logging.interval):
+            j, pending = pending_losses.pop(0)
+            loss_val = float(pending)
+            losses.append(loss_val)
+            if hasattr(pbar, "set_description"):
+                pbar.set_description(f"Loss*1k: {loss_val * 1000:.4f}")
+            if wandb_run is not None:
+                wandb_run.log(
+                    {"loss": loss_val, "iteration": j, "lr": float(lr_schedule(j))}
+                )
+            if on_step is not None:
+                on_step(j, loss_val)
 
         # periodic save (train_lora.py:292-302)
         if (
@@ -448,6 +454,18 @@ def train(
                     key=key,
                     rng=rng,
                 )
+
+    # drain any in-flight losses
+    for j, pending in pending_losses:
+        loss_val = float(pending)
+        losses.append(loss_val)
+        if wandb_run is not None:
+            wandb_run.log(
+                {"loss": loss_val, "iteration": j, "lr": float(lr_schedule(j))}
+            )
+        if on_step is not None:
+            on_step(j, loss_val)
+    pending_losses.clear()
 
     print("Saving...")
     save_path.mkdir(parents=True, exist_ok=True)
