@@ -114,7 +114,8 @@ class CLIPAttention(nn.Module):
         logits = jnp.einsum("bqhd,bkhd->bhqk", q * (d**-0.5), k).astype(
             jnp.float32
         )
-        logits = jnp.where(causal_mask, logits, jnp.finfo(jnp.float32).min)
+        if causal_mask is not None:
+            logits = jnp.where(causal_mask, logits, jnp.finfo(jnp.float32).min)
         probs = nn.softmax(logits, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, n, -1)
         return nn.Dense(cfg.hidden_size, name="out_proj", **kw)(out)

@@ -387,3 +387,51 @@ def torch_vae_decoder_to_flax(state_dict: Mapping[str, np.ndarray]) -> dict:
         path, value = _convert_leaf(path, value)
         flat[path] = value
     return unflatten_dict(flat)
+
+
+def torch_clip_vision_to_flax(state_dict: Mapping[str, np.ndarray]) -> dict:
+    """HF CLIPVisionModel(WithProjection) / CLIPModel vision half -> flax
+    params for `leco_tpu.models.clip_vision.CLIPVisionModel`."""
+    flat = {}
+    for name, value in state_dict.items():
+        value = np.asarray(value)
+        if name == "visual_projection.weight":
+            flat[("visual_projection", "kernel")] = value.T
+            continue
+        if not name.startswith("vision_model."):
+            continue
+        name = name[len("vision_model.") :]
+        if name == "embeddings.class_embedding":
+            flat[("class_embedding",)] = value.reshape(-1)
+            continue
+        if name == "embeddings.patch_embedding.weight":
+            flat[("patch_embedding", "kernel")] = value.transpose(2, 3, 1, 0)
+            continue
+        if name == "embeddings.position_embedding.weight":
+            flat[("position_embedding", "embedding")] = value
+            continue
+        # HF ships the pre-norm under the historical typo "pre_layrnorm"
+        for ln in ("pre_layrnorm", "pre_layernorm", "post_layernorm"):
+            if name.startswith(ln + "."):
+                leaf = name.split(".")[-1]
+                target = "pre_layrnorm" if ln.startswith("pre") else ln
+                path, value = _convert_leaf((target, leaf), value)
+                flat[path] = value
+                break
+        else:
+            if name.startswith("encoder.layers."):
+                rest = name[len("encoder.layers.") :]
+                idx, rest = rest.split(".", 1)
+                layer = f"layers_{idx}"
+                if rest.startswith("self_attn."):
+                    proj, leaf = rest[len("self_attn.") :].split(".")
+                    path = (layer, "self_attn", proj, leaf)
+                elif rest.startswith("mlp."):
+                    fc, leaf = rest[len("mlp.") :].split(".")
+                    path = (layer, f"mlp_{fc}", leaf)
+                else:
+                    ln_, leaf = rest.split(".")
+                    path = (layer, ln_, leaf)
+                path, value = _convert_leaf(path, value)
+                flat[path] = value
+    return unflatten_dict(flat)

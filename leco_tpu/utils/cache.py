@@ -12,9 +12,10 @@ import os
 def enable_compilation_cache(path: str | None = None) -> None:
     import jax
 
-    path = path or os.environ.get(
-        "LECO_TPU_CACHE", os.path.expanduser("~/.cache/leco_tpu_xla")
-    )
+    env = os.environ.get("LECO_TPU_CACHE")
+    if env == "0":
+        return
+    path = path or env or os.path.expanduser("~/.cache/leco_tpu_xla")
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
