@@ -13,9 +13,14 @@ def enable_compilation_cache(path: str | None = None) -> None:
     import jax
 
     env = os.environ.get("LECO_TPU_CACHE")
-    if env == "0":
+    # Opt-in: on tunneled/proxied TPU runtimes (the `axon` PJRT plugin)
+    # enabling the persistent cache deadlocks compilation, so the default is
+    # off unless the caller/environment explicitly requests it.
+    if path is None and (env is None or env == "0"):
         return
-    path = path or env or os.path.expanduser("~/.cache/leco_tpu_xla")
+    path = path or (env if env not in ("0", "1") else None) or os.path.expanduser(
+        "~/.cache/leco_tpu_xla"
+    )
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
