@@ -64,6 +64,7 @@ class TrainConfig(_Section):
     checkpoint_unet: bool = True  # remat the UNet blocks in the grad pass
     save_state: bool = False  # orbax full-state snapshots at save cadence
     resume: bool = False  # resume from the latest snapshot in save.path/state
+    tensor_parallel: int = 1  # tp axis size (Megatron-style transformer TP)
 
 
 class SaveConfig(_Section):

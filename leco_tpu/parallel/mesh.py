@@ -32,13 +32,19 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DP_AXIS))
 
 
+def dp_size(mesh: Optional[Mesh]) -> int:
+    if mesh is None:
+        return 1
+    return mesh.shape.get(DP_AXIS, mesh.devices.size)
+
+
 def shardable_batch(batch_size: int, mesh: Optional[Mesh]) -> bool:
-    """Shard only when the batch divides the mesh; otherwise replicate
+    """Shard only when the batch divides the dp axis; otherwise replicate
     (LECO batch sizes are 1-3, so single-host training often replicates —
     the dp win comes from scaling batch_size with the slice)."""
     if mesh is None:
         return False
-    return batch_size % mesh.devices.size == 0
+    return batch_size % dp_size(mesh) == 0
 
 
 def constrain_batch(x, mesh: Optional[Mesh], enable: bool):

@@ -85,19 +85,23 @@ def main():
 
             bwd = jax.jit(jax.grad(loss))
 
+            # chain outputs into inputs so every call is a REAL execution
+            # (identical repeated calls can be deduped by the runtime)
             out = fwd(params, x, ctx)
             jax.block_until_ready(out)
             t0 = time.perf_counter()
             for _ in range(args.iters):
-                out = fwd(params, x, ctx)
+                out = fwd(params, out, ctx)
             jax.block_until_ready(out)
             t_fwd = (time.perf_counter() - t0) / args.iters
 
             g = bwd(params, x, ctx)
             jax.block_until_ready(g)
+            xg = x
             t0 = time.perf_counter()
             for _ in range(args.iters // 2):
-                g = bwd(params, x, ctx)
+                g = bwd(params, xg, ctx)
+                xg = x + g["conv_in"]["bias"][:4].sum()  # data dependence
             jax.block_until_ready(g)
             t_bwd = (time.perf_counter() - t0) / (args.iters // 2)
 

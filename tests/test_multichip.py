@@ -109,3 +109,81 @@ class TestDPEquivalence:
         import __graft_entry__ as g
 
         g.dryrun_multichip(8)
+
+
+class TestTensorParallel:
+    def test_tp_matches_replicated(self):
+        """dp=4 x tp=2: TP-sharded base params must produce the same loss
+        and LoRA update as fully-replicated params (GSPMD collectives are
+        math-preserving)."""
+        import jax.numpy as jnp
+        from leco_tpu.parallel.sharding import make_mesh_2d, shard_unet_params
+        from leco_tpu.testing import make_random_bundle
+        from leco_tpu.train.optim import get_lr_schedule, get_optimizer
+        from leco_tpu.train.trainer import (
+            build_pack,
+            encode_prompt_pairs,
+            make_train_step,
+        )
+
+        def run(tp):
+            mesh = make_mesh_2d(jax.devices(), tp=tp)
+            bundle = make_random_bundle(seed=11)
+            if tp > 1:
+                bundle.base_params = shard_unet_params(bundle.base_params, mesh)
+            pairs = encode_prompt_pairs(
+                [PromptSettings(target="x", resolution=64, batch_size=4)],
+                bundle.encode_fn,
+            )
+            pack = build_pack(pairs[0], is_xl=False, height=64, width=64)
+            optimizer = get_optimizer(
+                "adamw", get_lr_schedule("constant", 1e-3, 10)
+            )
+            lora = bundle.lora_params
+            opt_state = optimizer.init(lora)
+            step = make_train_step(bundle, optimizer, 3, mesh=mesh)
+            with mesh:
+                lora, opt_state, loss = step(
+                    bundle.base_params,
+                    lora,
+                    opt_state,
+                    jax.random.PRNGKey(5),
+                    pack,
+                    jnp.float32(1.0),
+                    jnp.float32(1.0),
+                    jnp.int32(2),
+                    height=64,
+                    width=64,
+                    shard_batch=True,
+                )
+            return float(loss), lora
+
+    # tiny UNet heads=2 divide tp=2; channel dims (8/16) divide as well
+        loss_1, lora_1 = run(tp=1)
+        loss_2, lora_2 = run(tp=2)
+        assert loss_1 == pytest.approx(loss_2, rel=3e-4)
+        from flax.traverse_util import flatten_dict
+
+        f1, f2 = flatten_dict(lora_1), flatten_dict(lora_2)
+        for k in f1:
+            np.testing.assert_allclose(
+                np.asarray(f1[k]), np.asarray(f2[k]), atol=2e-5, err_msg=str(k)
+            )
+
+    def test_param_spec_rules(self):
+        from jax.sharding import PartitionSpec as P
+
+        from leco_tpu.parallel.sharding import unet_param_spec
+
+        attn = ("down_blocks_0", "attentions_0", "transformer_blocks_0", "attn1")
+        assert unet_param_spec(attn + ("to_q", "kernel")) == P(None, "tp")
+        assert unet_param_spec(attn + ("to_q", "bias")) == P("tp")
+        assert unet_param_spec(attn + ("to_out_0", "kernel")) == P("tp", None)
+        assert unet_param_spec(attn + ("to_out_0", "bias")) == P()
+        ff = ("mid_block", "attentions_0", "transformer_blocks_0", "ff")
+        assert unet_param_spec(ff + ("net_0", "proj", "kernel")) == P(None, "tp")
+        assert unet_param_spec(ff + ("net_2", "kernel")) == P("tp", None)
+        # convs / norms / lora / non-transformer: replicated
+        assert unet_param_spec(("down_blocks_0", "resnets_0", "conv1", "kernel")) == P()
+        assert unet_param_spec(attn + ("to_q", "lora_down")) == P()
+        assert unet_param_spec(("time_embedding", "linear_1", "kernel")) == P()

@@ -19,7 +19,7 @@ def main(args):
     from leco_tpu.lora import LoRASpec
     from leco_tpu.models.loader import load_models_xl
     from leco_tpu.ops.attention import default_backend
-    from leco_tpu.parallel.mesh import get_mesh
+    from leco_tpu.parallel.sharding import make_mesh_2d, shard_unet_params
     from leco_tpu.prompts import PromptEmbedsXL, load_prompts_from_yaml
     from leco_tpu.train.trainer import ModelBundle, train
     from leco_tpu.utils.debug import check_frozen_params, check_trainable_params
@@ -78,7 +78,10 @@ def main(args):
     check_trainable_params(bundle.lora_params)
     check_frozen_params(bundle.base_params)
 
-    mesh = get_mesh() if config.train.data_parallel else None
+    mesh = None
+    if config.train.data_parallel or config.train.tensor_parallel > 1:
+        mesh = make_mesh_2d(tp=config.train.tensor_parallel)
+        bundle.base_params = shard_unet_params(bundle.base_params, mesh)
     train(config, prompts, bundle, mesh=mesh)
 
 
