@@ -11,6 +11,7 @@ Baseline: ~0.083 it/s (100 steps / 20 min) on the reference's Colab GPU
 """
 
 import json
+import os
 import time
 
 import jax
@@ -41,20 +42,26 @@ def main():
 
     stage(f"platform={platform}")
 
+    attn = os.environ.get("LECO_BENCH_ATTN", default_backend())
+    remat = os.environ.get("LECO_BENCH_REMAT", "1") == "1"
+    batch = int(os.environ.get("LECO_BENCH_BATCH", "1"))
+    res = int(os.environ.get("LECO_BENCH_RES", "512"))
+    stage(f"attn={attn} remat={remat} batch={batch} res={res}")
+
     bundle = make_random_bundle(
         config=sd15_config(),
         spec=LoRASpec(rank=4, alpha=1.0),
         scheduler_kind="ddim",
         dtype=jnp.bfloat16,
         param_dtype=jnp.bfloat16,
-        attn_backend=default_backend(),
-        remat=True,
+        attn_backend=attn,
+        remat=remat,
     )
 
-    prompts = [PromptSettings(target="van gogh", resolution=512, batch_size=1)]
+    prompts = [PromptSettings(target="van gogh", resolution=res, batch_size=batch)]
     pairs = encode_prompt_pairs(prompts, bundle.encode_fn)
     pair = pairs[0]
-    pack = build_pack(pair, is_xl=False, height=512, width=512)
+    pack = build_pack(pair, is_xl=False, height=res, width=res)
 
     max_steps = 50
     lr_schedule = get_lr_schedule("constant", 1e-4, 500)
@@ -78,8 +85,8 @@ def main():
             jnp.float32(pair.guidance_scale),
             jnp.float32(pair.erase_sign),
             jnp.int32(t_to),
-            height=512,
-            width=512,
+            height=res,
+            width=res,
             shard_batch=False,
         )
         return lora, opt_state, loss, key
@@ -104,12 +111,15 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "LoRA train iters/sec/chip, SD1.5 512px bf16 rank4 ddim",
+                "metric": f"LoRA train iters/sec/chip, SD1.5 {res}px bf16 rank4 ddim",
                 "value": round(its_per_sec, 4),
                 "unit": "it/s",
                 "vs_baseline": round(its_per_sec / BASELINE_ITS_PER_SEC, 2),
                 "platform": platform,
                 "mean_inner_steps": float(np.mean(t_tos)),
+                "attn": attn,
+                "remat": remat,
+                "batch": batch,
             }
         )
     )

@@ -159,14 +159,14 @@ def _ldm_resnet(prefix_out: str, prefix_in: str) -> dict[str, str]:
 
 def ldm_unet_to_diffusers(
     state_dict: Mapping[str, np.ndarray],
-    num_blocks: int = 4,
+    num_blocks: int | None = None,
     layers_per_block: int = 2,
 ) -> dict[str, np.ndarray]:
     """'model.diffusion_model.*' LDM UNet keys -> diffusers UNet keys.
 
-    Supports the SD1.x/2.x topology (4 levels, 2 layers/block, attention on
-    the first 3 levels). SDXL single-file uses the same scheme with its own
-    topology; pass num_blocks=3 + the XL attention layout.
+    Handles SD1.x/2.x (4 levels) and SDXL (3 levels) — the level count is
+    inferred from the highest input_blocks index, and attention presence per
+    block is detected from the keys themselves.
     """
     prefix = "model.diffusion_model."
     sd = {
@@ -176,6 +176,13 @@ def ldm_unet_to_diffusers(
     }
     if not sd:
         raise ValueError("no model.diffusion_model.* keys found")
+
+    if num_blocks is None:
+        max_in = max(
+            int(k.split(".")[1]) for k in sd if k.startswith("input_blocks.")
+        )
+        # max index = num_blocks*layers + (num_blocks - 1)
+        num_blocks = (max_in + 1) // (layers_per_block + 1)
 
     mapping: dict[str, str] = {
         "time_embed.0.weight": "time_embedding.linear_1.weight",
@@ -222,39 +229,31 @@ def ldm_unet_to_diffusers(
     _map_attention(mapping, "mid_block.attentions.0", "middle_block.1", sd)
     mapping.update(_ldm_resnet("mid_block.resnets.1", "middle_block.2"))
 
-    # --- output (up) blocks: layers_per_block+1 entries per level;
-    # upsampler shares the last entry's submodule list
+    # --- output (up) blocks: layers_per_block+1 entries per level. Each
+    # output block is a submodule list: [resnet] (+ [transformer]) and the
+    # last block of a non-final level appends an [upsample]. The transformer
+    # is identified by its `norm.weight` key, the upsampler by `conv.weight`.
     ldm_idx = 0
     for level in range(num_blocks):
         for layer in range(layers_per_block + 1):
             u_res = f"up_blocks.{level}.resnets.{layer}"
             mapping.update(_ldm_resnet(u_res, f"output_blocks.{ldm_idx}.0"))
-            attn_in = f"output_blocks.{ldm_idx}.1"
-            has_attn = any(
-                k.startswith(attn_in + ".") and "conv" not in k.split(".")[2]
-                for k in sd
-                if k.startswith(attn_in + ".")
-            )
-            # the upsampler can live at .1 (no attention) or .2
-            up_candidates = [f"output_blocks.{ldm_idx}.1", f"output_blocks.{ldm_idx}.2"]
-            if has_attn and any(
-                k.startswith(attn_in + ".norm.") or k.startswith(attn_in + ".proj_in.")
-                for k in sd
-            ):
-                _map_attention(
-                    mapping, f"up_blocks.{level}.attentions.{layer}", attn_in, sd
-                )
-                up_candidates = [f"output_blocks.{ldm_idx}.2"]
-            if layer == layers_per_block and level != num_blocks - 1:
-                for cand in up_candidates:
-                    if f"{cand}.conv.weight" in sd:
-                        mapping[f"{cand}.conv.weight"] = (
-                            f"up_blocks.{level}.upsamplers.0.conv.weight"
-                        )
-                        mapping[f"{cand}.conv.bias"] = (
-                            f"up_blocks.{level}.upsamplers.0.conv.bias"
-                        )
-                        break
+            for sub in (1, 2):
+                prefix = f"output_blocks.{ldm_idx}.{sub}"
+                if f"{prefix}.norm.weight" in sd:  # Transformer2DModel
+                    _map_attention(
+                        mapping,
+                        f"up_blocks.{level}.attentions.{layer}",
+                        prefix,
+                        sd,
+                    )
+                elif f"{prefix}.conv.weight" in sd:  # Upsample2D
+                    mapping[f"{prefix}.conv.weight"] = (
+                        f"up_blocks.{level}.upsamplers.0.conv.weight"
+                    )
+                    mapping[f"{prefix}.conv.bias"] = (
+                        f"up_blocks.{level}.upsamplers.0.conv.bias"
+                    )
             ldm_idx += 1
 
     out = {}
@@ -272,11 +271,13 @@ def _map_attention(mapping: dict, out_prefix: str, in_prefix: str, sd) -> None:
             mapping[k] = out_prefix + k[len(in_prefix) :]
 
 
-def ldm_clip_to_hf(state_dict: Mapping[str, np.ndarray]) -> dict[str, np.ndarray]:
-    """SD1.x LDM text encoder ('cond_stage_model.transformer.*') -> HF CLIP
-    keys. (SD2.x open_clip format 'cond_stage_model.model.*' handled by
-    `ldm_openclip_to_hf`.)"""
-    prefix = "cond_stage_model.transformer."
+def ldm_clip_to_hf(
+    state_dict: Mapping[str, np.ndarray],
+    prefix: str = "cond_stage_model.transformer.",
+) -> dict[str, np.ndarray]:
+    """LDM-embedded HF-format CLIP text encoder -> bare HF CLIP keys.
+    Prefixes: 'cond_stage_model.transformer.' (SD1.x) or
+    'conditioner.embedders.0.transformer.' (SDXL CLIP-L)."""
     return {
         k[len(prefix) :]: np.asarray(v)
         for k, v in state_dict.items()
@@ -285,11 +286,13 @@ def ldm_clip_to_hf(state_dict: Mapping[str, np.ndarray]) -> dict[str, np.ndarray
 
 
 def ldm_openclip_to_hf(
-    state_dict: Mapping[str, np.ndarray], hidden_size: int = 1024
+    state_dict: Mapping[str, np.ndarray],
+    hidden_size: int = 1024,
+    prefix: str = "cond_stage_model.model.",
 ) -> dict[str, np.ndarray]:
-    """SD2.x open_clip text tower ('cond_stage_model.model.*') -> HF CLIP
-    keys: fused in_proj split into q/k/v."""
-    prefix = "cond_stage_model.model."
+    """open_clip text tower -> HF CLIP keys: fused in_proj split into q/k/v.
+    Prefixes: 'cond_stage_model.model.' (SD2.x single file) or
+    'conditioner.embedders.1.model.' (SDXL single file, bigG)."""
     sd = {
         k[len(prefix) :]: np.asarray(v)
         for k, v in state_dict.items()
@@ -298,6 +301,9 @@ def ldm_openclip_to_hf(
     if not sd:
         return {}
     out: dict[str, np.ndarray] = {}
+    if "text_projection" in sd:
+        # open_clip stores (width, proj) used as x @ W; HF Linear is x @ W.T
+        out["text_projection.weight"] = sd["text_projection"].T
     out["text_model.embeddings.token_embedding.weight"] = sd[
         "token_embedding.weight"
     ]

@@ -312,6 +312,11 @@ def _load_single_file(
     lora_spec, attn_backend, remat,
 ) -> LoadedModels:
     sd = _load_tensor_file(path)
+    if any(k.startswith("conditioner.embedders.1.") for k in sd):
+        raise ValueError(
+            f"{path} is an SDXL single-file checkpoint; use load_models_xl "
+            "(train_lora_xl.py) instead of the SD1/2 loader."
+        )
 
     unet_sd = convert.ldm_unet_to_diffusers(sd)
     # infer config from tensor shapes
@@ -389,10 +394,14 @@ def load_models_xl(
     model_util.py:200-227): dual tokenizers (tokenizer_2 pad id 0) + dual
     text encoders + UNet."""
     path = pretrained_model_name_or_path
+    if path.endswith(".ckpt") or path.endswith(".safetensors"):
+        return _load_single_file_xl(
+            path, scheduler_name, weight_dtype, lora_spec, attn_backend, remat
+        )
     if not os.path.isdir(path):
         raise FileNotFoundError(
-            f"{path!r} is not a local diffusers directory. SDXL single-file "
-            "loading is not supported yet; use a diffusers layout."
+            f"{path!r} is not a local diffusers directory or checkpoint file. "
+            "leco-tpu is offline-only: download the model first."
         )
 
     with open(os.path.join(path, "unet", "config.json")) as f:
@@ -472,3 +481,66 @@ def load_vae_decoder(
     params = jax.tree.map(lambda x: jnp.asarray(x, weight_dtype), params)
     vae = VAEDecoder(config=config, dtype=weight_dtype, param_dtype=weight_dtype)
     return vae, params
+
+
+def _sibling_tokenizer(path: str, sub: str, pad_token_id=None) -> CLIPTokenizer:
+    tok_dir = os.path.join(os.path.dirname(os.path.abspath(path)), sub)
+    if os.path.isdir(tok_dir):
+        return CLIPTokenizer.from_pretrained(tok_dir, pad_token_id=pad_token_id)
+    raise FileNotFoundError(
+        f"single-file checkpoints need a {sub}/ directory (vocab.json + "
+        f"merges.txt) next to the checkpoint; none found at {tok_dir}. "
+        "(The reference downloaded it from the HF hub; this framework is "
+        "offline-only.)"
+    )
+
+
+def _load_single_file_xl(
+    path, scheduler_name, weight_dtype, lora_spec, attn_backend, remat
+) -> LoadedModels:
+    """SDXL .safetensors/.ckpt single file (the reference's
+    StableDiffusionXLPipeline.from_single_file path, model_util.py:179-197)."""
+    from leco_tpu.models.clip import sd1_text_config, sdxl_text2_config
+    from leco_tpu.models.unet import sdxl_config
+
+    sd = _load_tensor_file(path)
+    if not any(k.startswith("conditioner.embedders.1.") for k in sd):
+        raise ValueError(f"{path} does not look like an SDXL checkpoint")
+
+    unet_sd = convert.ldm_unet_to_diffusers(sd)
+    unet_config = sdxl_config()
+    unet, base, lora = _build_unet(
+        unet_config, unet_sd, lora_spec, weight_dtype, attn_backend, remat
+    )
+
+    te1_sd = convert.ldm_clip_to_hf(
+        sd, prefix="conditioner.embedders.0.transformer."
+    )
+    te1_config = sd1_text_config()
+    te1_params = convert.torch_clip_to_flax(te1_sd, te1_config.num_hidden_layers)
+    te1_params = jax.tree.map(lambda x: jnp.asarray(x, weight_dtype), te1_params)
+    te1 = CLIPTextModel(config=te1_config, dtype=weight_dtype, param_dtype=weight_dtype)
+
+    te2_hf = convert.ldm_openclip_to_hf(
+        sd, hidden_size=1280, prefix="conditioner.embedders.1.model."
+    )
+    te2_config = sdxl_text2_config()
+    te2_params = convert.torch_clip_to_flax(te2_hf, te2_config.num_hidden_layers)
+    te2_params = jax.tree.map(lambda x: jnp.asarray(x, weight_dtype), te2_params)
+    te2 = CLIPTextModel(config=te2_config, dtype=weight_dtype, param_dtype=weight_dtype)
+
+    tokenizer = _sibling_tokenizer(path, "tokenizer")
+    tokenizer_2 = _sibling_tokenizer(path, "tokenizer_2", pad_token_id=0)
+
+    scheduler = create_noise_scheduler(scheduler_name)
+    return LoadedModels(
+        tokenizer=tokenizer,
+        text_encoder=LoadedTextEncoder(te1, te1_params, te1_config),
+        unet=unet,
+        unet_base_params=base,
+        unet_lora_params=lora,
+        scheduler=scheduler,
+        unet_config=unet_config,
+        tokenizer_2=tokenizer_2,
+        text_encoder_2=LoadedTextEncoder(te2, te2_params, te2_config),
+    )
