@@ -422,6 +422,13 @@ def train(
         while len(pending_losses) >= max(1, config.logging.interval):
             j, pending = pending_losses.pop(0)
             loss_val = float(pending)
+            if not np.isfinite(loss_val):
+                # failure detection the reference lacks (SURVEY.md 5.3): stop
+                # before writing a corrupted checkpoint over a good one
+                raise FloatingPointError(
+                    f"non-finite loss {loss_val} at iteration {j}; aborting "
+                    "(last good LoRA weights are in the previous periodic save)"
+                )
             losses.append(loss_val)
             if hasattr(pbar, "set_description"):
                 pbar.set_description(f"Loss*1k: {loss_val * 1000:.4f}")
