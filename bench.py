@@ -43,7 +43,7 @@ def main():
     stage(f"platform={platform}")
 
     attn = os.environ.get("LECO_BENCH_ATTN", default_backend())
-    remat = os.environ.get("LECO_BENCH_REMAT", "1") == "1"
+    remat = os.environ.get("LECO_BENCH_REMAT", "0") == "1"
     batch = int(os.environ.get("LECO_BENCH_BATCH", "1"))
     res = int(os.environ.get("LECO_BENCH_RES", "512"))
     stage(f"attn={attn} remat={remat} batch={batch} res={res}")

@@ -61,7 +61,9 @@ class TrainConfig(_Section):
     # TPU-native extensions (absent in the reference):
     seed: Optional[int] = None  # explicit PRNG seed; None -> OS entropy
     data_parallel: bool = True  # shard the batch over the device mesh
-    checkpoint_unet: bool = True  # remat the UNet blocks in the grad pass
+    # remat the UNet blocks in the grad pass; off by default — LoRA-only
+    # training at LECO batch sizes fits HBM comfortably and remat costs ~8%
+    checkpoint_unet: bool = False
     save_state: bool = False  # orbax full-state snapshots at save cadence
     resume: bool = False  # resume from the latest snapshot in save.path/state
     tensor_parallel: int = 1  # tp axis size (Megatron-style transformer TP)

@@ -105,7 +105,7 @@ def make_train_step(
     scheduler = bundle.scheduler
     state_n = scheduler.set_timesteps(max_denoising_steps)
     state_full = scheduler.set_timesteps(scheduler.num_train_timesteps)
-    t_ratio = scheduler.num_train_timesteps // max_denoising_steps
+    num_train_timesteps = scheduler.num_train_timesteps
 
     def apply_unet(params, sample, t, ctx, added):
         return unet.apply({"params": params}, sample, t, ctx, added)
@@ -153,8 +153,9 @@ def make_train_step(
         )
         denoised = jax.lax.stop_gradient(denoised)
 
-        # ---- training timestep on the 1000-step schedule (train_lora.py:195-199)
-        idx = timesteps_to * t_ratio
+        # ---- training timestep on the 1000-step schedule:
+        # timesteps[int(t_to * 1000 / max_denoising_steps)] (train_lora.py:195-199)
+        idx = (timesteps_to * num_train_timesteps) // max_denoising_steps
         t = state_full.timesteps[idx]
         in_scale = state_full.input_scales[idx]
 

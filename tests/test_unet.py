@@ -65,7 +65,7 @@ class TestTinyUNet:
         model_r = UNet2DConditionModel(config=cfg, remat=True)
         out = model.apply({"params": params}, sample, 10, ctx)
         out_r = model_r.apply({"params": params}, sample, 10, ctx)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(out_r), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out_r), atol=1e-5)
 
     def test_context_changes_output(self):
         cfg = tiny_unet_config()
