@@ -362,6 +362,8 @@ def train(
     losses: list[float] = []
     pending_losses: list = []
     saved: list[Path] = []
+    save_path.mkdir(parents=True, exist_ok=True)
+    metrics_file = open(save_path / "metrics.jsonl", "a")
 
     try:
         from tqdm import tqdm
@@ -433,6 +435,14 @@ def train(
             losses.append(loss_val)
             if hasattr(pbar, "set_description"):
                 pbar.set_description(f"Loss*1k: {loss_val * 1000:.4f}")
+            record = {
+                "loss": loss_val,
+                "iteration": j,
+                "lr": float(lr_schedule(j)),
+                "timesteps_to": timesteps_to,
+                "resolution": [height, width],
+            }
+            metrics_file.write(json.dumps(record) + "\n")
             if wandb_run is not None:
                 wandb_run.log(
                     {"loss": loss_val, "iteration": j, "lr": float(lr_schedule(j))}
@@ -481,6 +491,7 @@ def train(
     save_lora_weights(p, lora, bundle.spec, save_dtype, metadata)
     saved.append(p)
 
+    metrics_file.close()
     if wandb_run is not None:
         wandb_run.finish()
     print("Done.")
