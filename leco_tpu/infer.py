@@ -14,7 +14,7 @@ the A1111 AddNet weight semantics the reference's README documents
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 from typing import Optional
 
 import jax
@@ -26,6 +26,41 @@ from leco_tpu.models.loader import LoadedModels
 from leco_tpu.ops import schedulers as sched
 from leco_tpu.prompts import PromptEmbedsXL
 from leco_tpu.train import diffusion as diff
+
+
+# jitted denoise runners, cached per (unet, schedule, guidance, added-conds)
+# so repeated generate calls (A/B grids) compile once
+_RUNNERS: dict = {}
+
+
+def _get_runner(models, state, guidance_scale: float, has_added: bool):
+    key = (
+        id(models.unet),
+        state.kind,
+        state.num_inference_steps,
+        float(guidance_scale),
+        has_added,
+    )
+    if key not in _RUNNERS:
+        n_steps = state.num_inference_steps
+
+        def run(params, k_sched, latents, text_embeddings, added):
+            def unet_apply(sample, t, ctx, added_kw):
+                return models.unet.apply({"params": params}, sample, t, ctx, added_kw)
+
+            return diff.diffusion(
+                unet_apply,
+                state,
+                k_sched,
+                latents,
+                text_embeddings,
+                n_steps,
+                guidance_scale=guidance_scale,
+                added_cond_kwargs=added,
+            )
+
+        _RUNNERS[key] = jax.jit(run)
+    return _RUNNERS[key]
 
 
 @dataclasses.dataclass
@@ -91,20 +126,8 @@ def generate_latents(
     if gen.noise_offset:
         latents = diff.apply_noise_offset(k_off, latents, gen.noise_offset)
 
-    def unet_apply(sample, t, ctx, added_kw):
-        return models.unet.apply({"params": params}, sample, t, ctx, added_kw)
-
-    run = jax.jit(
-        partial(
-            diff.diffusion,
-            unet_apply,
-            state,
-            guidance_scale=gen.guidance_scale,
-            added_cond_kwargs=added,
-        ),
-        static_argnames=(),
-    )
-    return run(k_sched, latents, text_embeddings, gen.num_inference_steps)
+    run = _get_runner(models, state, gen.guidance_scale, added is not None)
+    return run(params, k_sched, latents, text_embeddings, added)
 
 
 def decode_latents(

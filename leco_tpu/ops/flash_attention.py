@@ -29,9 +29,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+import os
+
+_MAX_BQ = int(os.environ.get("LECO_FLASH_BQ", "512"))
+
+
 def _pick_q_block(n: int) -> int:
     for bq in (512, 256, 128, 64, 32, 16, 8):
-        if n % bq == 0:
+        if bq <= _MAX_BQ and n % bq == 0:
             return bq
     return 0
 
