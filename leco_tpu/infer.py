@@ -37,6 +37,7 @@ def _get_runner(models, state, guidance_scale: float, has_added: bool):
     key = (
         id(models.unet),
         state.kind,
+        state.prediction_type,
         state.num_inference_steps,
         float(guidance_scale),
         has_added,
