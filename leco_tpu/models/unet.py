@@ -30,6 +30,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from leco_tpu.lora import LoRAConv, LoRADense, LoRASpec
+from leco_tpu.ops.group_norm import FusedGroupNorm
 from leco_tpu.ops.attention import multi_head_attention
 
 
@@ -193,8 +194,9 @@ class ResnetBlock2D(nn.Module):
             param_dtype=self.param_dtype,
         )
         in_channels = x.shape[-1]
-        h = _group_norm(self.num_groups, 1e-5, "norm1")(x).astype(self.dtype)
-        h = nn.silu(h)
+        h = FusedGroupNorm(self.num_groups, 1e-5, with_silu=True, name="norm1")(
+            x.astype(self.dtype)
+        )
         h = LoRAConv(
             self.out_channels, (3, 3), padding=((1, 1), (1, 1)), name="conv1", **kw
         )(h)
@@ -202,8 +204,7 @@ class ResnetBlock2D(nn.Module):
             nn.silu(temb.astype(self.dtype))
         )
         h = h + temb[:, None, None, :]
-        h = _group_norm(self.num_groups, 1e-5, "norm2")(h).astype(self.dtype)
-        h = nn.silu(h)
+        h = FusedGroupNorm(self.num_groups, 1e-5, with_silu=True, name="norm2")(h)
         h = LoRAConv(
             self.out_channels, (3, 3), padding=((1, 1), (1, 1)), name="conv2", **kw
         )(h)
@@ -348,7 +349,9 @@ class Transformer2DModel(nn.Module):
         )
         b, h, w, c = x.shape
         residual = x
-        x = _group_norm(self.num_groups, 1e-6, "norm")(x).astype(self.dtype)
+        x = FusedGroupNorm(self.num_groups, 1e-6, with_silu=False, name="norm")(
+            x.astype(self.dtype)
+        )
         if self.use_linear_projection:
             x = x.reshape(b, h * w, c)
             x = LoRADense(self.channels, name="proj_in", **kw)(x)
@@ -784,10 +787,9 @@ class UNet2DConditionModel(nn.Module):
                 raise ValueError(f"unknown up block: {block_type}")
 
         # --- out
-        sample = _group_norm(cfg.norm_num_groups, 1e-5, "conv_norm_out")(
-            sample
-        ).astype(self.dtype)
-        sample = nn.silu(sample)
+        sample = FusedGroupNorm(
+            cfg.norm_num_groups, 1e-5, with_silu=True, name="conv_norm_out"
+        )(sample)
         return nn.Conv(
             cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)), name="conv_out", **kw
         )(sample)

@@ -1,0 +1,163 @@
+"""Fused GroupNorm(+SiLU) Pallas kernel.
+
+Profiling the SD1.5 UNet forward on v5e shows the fp32 GroupNorm statistic
+fusions plus the layout copies they induce cost ~15% of the step. This
+kernel computes the statistics in fp32 on-chip and writes the normalized
+(optionally SiLU'd) bf16 output in a single HBM pass.
+
+Grid: one program per batch item; the full (H, W, C) activation block lives
+in VMEM (largest SD block: 96x96x320 bf16 = 5.9 MB). Falls back to the XLA
+path (leco_tpu.models.unet._group_norm semantics) for shapes that don't fit
+or on non-TPU backends.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+
+
+def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups, eps, with_silu):
+    x = x_ref[0]  # (H, W, C)
+    h, w, c = x.shape
+    cg = c // num_groups
+    xf = x.astype(jnp.float32).reshape(h * w, num_groups, cg)
+    mean = jnp.mean(xf, axis=(0, 2), keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=(0, 2), keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    y = ((xf - mean) * inv).reshape(h, w, c)
+    y = y * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(jnp.float32)
+    if with_silu:
+        y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def supports(shape, dtype) -> bool:
+    if len(shape) != 4:
+        return False
+    b, h, w, c = shape
+    if c % 128 != 0 and c % 8 != 0:
+        return False
+    # x in + f32 working copy + out
+    per_item = h * w * c * (jnp.dtype(dtype).itemsize * 2 + 4)
+    return per_item <= _VMEM_BUDGET_BYTES
+
+
+def group_norm_silu(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    num_groups: int,
+    eps: float,
+    with_silu: bool = True,
+) -> jnp.ndarray:
+    """x: (B, H, W, C) -> same shape/dtype; stats in fp32 per (batch, group)."""
+    b, h, w, c = x.shape
+    return pl.pallas_call(
+        functools.partial(
+            _gn_kernel, num_groups=num_groups, eps=eps, with_silu=with_silu
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * x.size,
+            bytes_accessed=2 * x.size * x.dtype.itemsize,
+            transcendentals=x.size if with_silu else 0,
+        ),
+    )(x, scale, bias)
+
+
+def group_norm_silu_ref(x, scale, bias, num_groups, eps, with_silu=True):
+    """XLA reference implementation (identical math, for fallback/tests)."""
+    b, h, w, c = x.shape
+    cg = c // num_groups
+    xf = x.astype(jnp.float32).reshape(b, h * w, num_groups, cg)
+    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=(1, 3), keepdims=True)
+    y = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(b, h, w, c)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    if with_silu:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_group_norm(x, scale, bias, num_groups, eps, with_silu):
+    return group_norm_silu(x, scale, bias, num_groups, eps, with_silu)
+
+
+def _fgn_fwd(x, scale, bias, num_groups, eps, with_silu):
+    return group_norm_silu(x, scale, bias, num_groups, eps, with_silu), (
+        x,
+        scale,
+        bias,
+    )
+
+
+def _fgn_bwd(num_groups, eps, with_silu, residuals, g):
+    # backward via the XLA reference (recompute); only the single
+    # differentiated target pass pays this, the forward-only passes use the
+    # fused kernel alone
+    x, scale, bias = residuals
+    _, vjp = jax.vjp(
+        lambda x_, s_, b_: group_norm_silu_ref(
+            x_, s_, b_, num_groups, eps, with_silu
+        ),
+        x,
+        scale,
+        bias,
+    )
+    return vjp(g)
+
+
+fused_group_norm.defvjp(_fgn_fwd, _fgn_bwd)
+
+
+import os
+
+import flax.linen as nn
+
+_FUSED_GN_ENABLED = os.environ.get("LECO_TPU_FUSED_GN", "1") == "1"
+
+
+class FusedGroupNorm(nn.Module):
+    """GroupNorm (+ optional fused SiLU). Params named scale/bias like
+    nn.GroupNorm, so checkpoint conversion and LoRA export are unaffected.
+    Uses the Pallas kernel on TPU when the block fits VMEM; the XLA
+    reference implementation (fp32 stats) otherwise."""
+
+    num_groups: int
+    eps: float = 1e-5
+    with_silu: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        use_kernel = (
+            _FUSED_GN_ENABLED
+            and jax.default_backend() == "tpu"
+            and supports(x.shape, x.dtype)
+        )
+        if use_kernel:
+            return fused_group_norm(
+                x, scale, bias, self.num_groups, self.eps, self.with_silu
+            )
+        return group_norm_silu_ref(
+            x, scale, bias, self.num_groups, self.eps, self.with_silu
+        )
