@@ -20,32 +20,74 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+_VMEM_BUDGET_BYTES = 14 * 1024 * 1024
 
 
-def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups, eps, with_silu):
-    x = x_ref[0]  # (H, W, C)
-    h, w, c = x.shape
+def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups, eps, with_silu,
+               row_chunk):
+    # Two constraints shape this kernel:
+    #  * Mosaic cannot split the lane (channel) dim, so group statistics are
+    #    aggregated via a (C, G) membership matmul, not a (..., G, C/G)
+    #    reshape;
+    #  * fp32 temporaries of the whole block would blow VMEM at the largest
+    #    SD shapes, so both passes run in row chunks.
+    h, w, c = x_ref.shape[1:]
     cg = c // num_groups
-    xf = x.astype(jnp.float32).reshape(h * w, num_groups, cg)
-    mean = jnp.mean(xf, axis=(0, 2), keepdims=True)
-    var = jnp.mean((xf - mean) ** 2, axis=(0, 2), keepdims=True)
-    inv = jax.lax.rsqrt(var + eps)
-    y = ((xf - mean) * inv).reshape(h, w, c)
-    y = y * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(jnp.float32)
-    if with_silu:
-        y = y * jax.nn.sigmoid(y)
-    o_ref[0] = y.astype(o_ref.dtype)
+    n = h * w * cg
+    n_chunks = h // row_chunk
+
+    def stat_body(i, acc):
+        s, sq = acc
+        chunk = x_ref[0, pl.ds(i * row_chunk, row_chunk), :, :]
+        xf = chunk.reshape(row_chunk * w, c).astype(jnp.float32)
+        return (
+            s + jnp.sum(xf, axis=0, keepdims=True),
+            sq + jnp.sum(xf * xf, axis=0, keepdims=True),
+        )
+
+    zeros = jnp.zeros((1, c), jnp.float32)
+    s, sq = jax.lax.fori_loop(0, n_chunks, stat_body, (zeros, zeros))
+
+    chan = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 0)
+    grp = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 1)
+    member = (chan // cg == grp).astype(jnp.float32)  # (C, G)
+
+    mean_g = jnp.dot(s, member, preferred_element_type=jnp.float32) / n
+    sq_g = jnp.dot(sq, member, preferred_element_type=jnp.float32) / n
+    var_g = sq_g - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)
+
+    mean_c = jnp.dot(mean_g, member.T, preferred_element_type=jnp.float32)
+    inv_c = jnp.dot(inv_g, member.T, preferred_element_type=jnp.float32)
+    scale = scale_ref[:].astype(jnp.float32) * inv_c[0]
+    shift = bias_ref[:].astype(jnp.float32) - mean_c[0] * scale
+
+    def apply_body(i, _):
+        chunk = x_ref[0, pl.ds(i * row_chunk, row_chunk), :, :]
+        y = chunk.astype(jnp.float32) * scale + shift
+        if with_silu:
+            y = y * jax.nn.sigmoid(y)
+        o_ref[0, pl.ds(i * row_chunk, row_chunk), :, :] = y.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, apply_body, 0)
+
+
+def _row_chunk(h: int) -> int:
+    for ch in (8, 4, 2, 1):
+        if h % ch == 0:
+            return ch
+    return 1
 
 
 def supports(shape, dtype) -> bool:
     if len(shape) != 4:
         return False
     b, h, w, c = shape
-    if c % 128 != 0 and c % 8 != 0:
+    if c % 8 != 0:
         return False
-    # x in + f32 working copy + out
-    per_item = h * w * c * (jnp.dtype(dtype).itemsize * 2 + 4)
+    # in + out blocks, double-buffered by the pipeline, + chunk temporaries
+    per_item = 4 * h * w * c * jnp.dtype(dtype).itemsize + 2 * 1024 * 1024
     return per_item <= _VMEM_BUDGET_BYTES
 
 
@@ -61,7 +103,11 @@ def group_norm_silu(
     b, h, w, c = x.shape
     return pl.pallas_call(
         functools.partial(
-            _gn_kernel, num_groups=num_groups, eps=eps, with_silu=with_silu
+            _gn_kernel,
+            num_groups=num_groups,
+            eps=eps,
+            with_silu=with_silu,
+            row_chunk=_row_chunk(h),
         ),
         grid=(b,),
         in_specs=[
