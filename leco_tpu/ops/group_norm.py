@@ -177,7 +177,11 @@ import os
 
 import flax.linen as nn
 
-_FUSED_GN_ENABLED = os.environ.get("LECO_TPU_FUSED_GN", "1") == "1"
+# Default OFF: measured end-to-end on v5e the kernel LOSES to XLA's fused
+# GroupNorm chains (1.40 vs 1.81 it/s on the SD1.5 bench) — the serial
+# row-chunk loops underutilize the VPU vs XLA's wide fusions. Kept as an
+# opt-in (LECO_TPU_FUSED_GN=1) and as the base for future fusion work.
+_FUSED_GN_ENABLED = os.environ.get("LECO_TPU_FUSED_GN", "0") == "1"
 
 
 class FusedGroupNorm(nn.Module):
