@@ -41,10 +41,10 @@ def _pick_q_block(n: int) -> int:
     return 0
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
     q = q_ref[0]  # (Bq, D)
-    k = k_ref[0]  # (Nk, D)
-    v = v_ref[0]  # (Nk, D)
+    k = k_ref[0]  # (Nk_pad, D)
+    v = v_ref[0]  # (Nk_pad, D)
     logits = jax.lax.dot_general(
         q,
         k,
@@ -52,6 +52,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
         preferred_element_type=jnp.float32,
     )
     logits = logits * scale
+    if kv_len != k.shape[0]:  # KV was padded (cross-attention over 77 tokens)
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < kv_len, logits, -1e30)
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
@@ -61,29 +64,36 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
 
 
 def _flash_fwd_3d(q3, k3, v3, scale: float):
-    """q3: (BH, Nq, D); k3/v3: (BH, Nk, D)."""
+    """q3: (BH, Nq, D); k3/v3: (BH, Nk, D). Nk is padded to a multiple of
+    128 with masked columns (cross-attention has Nk == 77)."""
     bh, nq, d = q3.shape
     nk = k3.shape[1]
     bq = _pick_q_block(nq)
     assert bq, f"unsupported Nq={nq}"
 
+    nk_pad = -(-nk // 128) * 128
+    if nk_pad != nk:
+        pad = [(0, 0), (0, nk_pad - nk), (0, 0)]
+        k3 = jnp.pad(k3, pad)
+        v3 = jnp.pad(v3, pad)
+
     grid = (bh, nq // bq)
     return pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
+        functools.partial(_attn_kernel, scale=scale, kv_len=nk),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((bh, nq, d), q3.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * bh * nq * nk * d,
+            flops=2 * 2 * bh * nq * nk_pad * d,
             bytes_accessed=(q3.size + k3.size + v3.size) * q3.dtype.itemsize * 2,
-            transcendentals=bh * nq * nk,
+            transcendentals=bh * nq * nk_pad,
         ),
     )(q3, k3, v3)
 
@@ -130,5 +140,7 @@ def flash_attention(
 
 
 def supports(nq: int, nk: int) -> bool:
-    """Kernel applicability: self-attention-sized sequences."""
-    return nq >= 256 and nk >= 256 and _pick_q_block(nq) > 0 and nk % 8 == 0
+    """Kernel applicability: long-enough query sequences (self-attention at
+    the top UNet levels, and cross-attention from those levels — the padded
+    77-token KV is masked in-kernel)."""
+    return nq >= 256 and _pick_q_block(nq) > 0

@@ -23,15 +23,16 @@ class TestSupports:
         assert supports(256, 256)
         assert supports(3136, 3136)  # 448px bucket
         assert not supports(64, 64)  # tiny levels -> XLA
-        assert not supports(4096, 77)  # cross-attn -> XLA
+        assert supports(4096, 77)  # cross-attn: padded + masked KV
 
 
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
-@pytest.mark.parametrize("n,heads,d", [(256, 2, 40), (512, 4, 64)])
-def test_forward_matches_xla(n, heads, d, dtype):
+@pytest.mark.parametrize("n,nk,heads,d", [(256, 256, 2, 40), (512, 512, 4, 64),
+                                          (512, 77, 2, 40)])
+def test_forward_matches_xla(n, nk, heads, d, dtype):
     q = _rand((1, n, heads, d), 0, dtype)
-    k = _rand((1, n, heads, d), 1, dtype)
-    v = _rand((1, n, heads, d), 2, dtype)
+    k = _rand((1, nk, heads, d), 1, dtype)
+    v = _rand((1, nk, heads, d), 2, dtype)
     scale = d**-0.5
     with pltpu.force_tpu_interpret_mode():
         out = flash_attention(q, k, v, scale)

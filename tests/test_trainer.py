@@ -196,3 +196,35 @@ class TestOptimFactories:
 
         with pytest.raises(ValueError):
             get_lr_schedule("warmup", lr, iters)
+
+
+class TestNetworkVariants:
+    @pytest.mark.parametrize(
+        "method", ["xattn", "selfattn", "noxattn", "innoxattn"]
+    )
+    def test_training_methods_end_to_end(self, method, tmp_path):
+        from leco_tpu.lora import LoRASpec
+
+        bundle = make_random_bundle(spec=LoRASpec(rank=2, train_method=method))
+        config = tiny_config(tmp_path, iterations=2)
+        result = train(config, tiny_prompts(), bundle)
+        assert all(np.isfinite(l) for l in result["losses"])
+
+    def test_c3lier_end_to_end(self, tmp_path):
+        from flax.traverse_util import flatten_dict
+
+        from leco_tpu.lora import LoRASpec
+
+        bundle = make_random_bundle(
+            spec=LoRASpec(rank=4, network_type="c3lier")
+        )
+        # conv lora leaves exist (4-dim down kernels)
+        has_conv_lora = any(
+            v.ndim == 4
+            for k, v in flatten_dict(bundle.lora_params).items()
+            if k[-1] == "lora_down"
+        )
+        assert has_conv_lora
+        config = tiny_config(tmp_path, iterations=2)
+        result = train(config, tiny_prompts(), bundle)
+        assert all(np.isfinite(l) for l in result["losses"])
