@@ -140,7 +140,11 @@ def flash_attention(
 
 
 def supports(nq: int, nk: int) -> bool:
-    """Kernel applicability: long-enough query sequences (self-attention at
-    the top UNet levels, and cross-attention from those levels — the padded
-    77-token KV is masked in-kernel)."""
-    return nq >= 256 and _pick_q_block(nq) > 0
+    """Kernel applicability. Self-attention at the top UNet levels only:
+    the kernel also handles masked short-KV cross-attention (padded to 128),
+    but measured end-to-end on v5e that loses to XLA's fused small-KV
+    attention (1.72 vs 1.81 it/s on the SD1.5 bench), so cross-attention
+    stays on the XLA path. Set LECO_FLASH_CROSS=1 to re-enable."""
+    if os.environ.get("LECO_FLASH_CROSS") == "1":
+        return nq >= 256 and _pick_q_block(nq) > 0
+    return nq >= 256 and nk >= 256 and _pick_q_block(nq) > 0

@@ -23,7 +23,7 @@ class TestSupports:
         assert supports(256, 256)
         assert supports(3136, 3136)  # 448px bucket
         assert not supports(64, 64)  # tiny levels -> XLA
-        assert supports(4096, 77)  # cross-attn: padded + masked KV
+        assert not supports(4096, 77)  # cross-attn stays on XLA (measured)
 
 
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
