@@ -316,9 +316,19 @@ def save_lora_weights(
         np.savez(file, **state)
 
 
-def load_lora_weights(file: str | os.PathLike, reference_lora) -> dict:
+def load_lora_weights(
+    file: str | os.PathLike,
+    reference_lora,
+    spec: Optional[LoRASpec] = None,
+) -> dict:
     """safetensors -> flax lora tree, using `reference_lora` (an init'ed
-    lora tree) to resolve the flattened names back into the tree structure."""
+    lora tree) to resolve the flattened names back into the tree structure.
+
+    If `spec` is given and the file's per-layer `.alpha` differs from
+    `spec.stored_alpha` (e.g. a kohya LoRA trained with a different alpha),
+    the `lora_up` leaves are rescaled by alpha_file / spec.stored_alpha so
+    the applied contribution matches the exporter's semantics (the model
+    computes scale = spec.stored_alpha / rank)."""
     from safetensors.numpy import load_file
 
     state = load_file(os.fspath(file))
@@ -327,16 +337,20 @@ def load_lora_weights(file: str | os.PathLike, reference_lora) -> dict:
     for k in flat_ref:
         by_name.setdefault(LORA_PREFIX_UNET + "_" + "_".join(k[:-1]), k[:-1])
 
+    alphas = {
+        key[: -len(".alpha")]: float(np.asarray(value))
+        for key, value in state.items()
+        if key.endswith(".alpha")
+    }
+
     out = {}
     for key, value in state.items():
         name, _, leaf = key.rpartition(".")
         if name.endswith(".lora_down") or name.endswith(".lora_up"):
-            name, _, which = name.rpartition(".")
+            layer_name, _, which = name.rpartition(".")
         else:
-            which = leaf  # "alpha"
-        if which == "alpha":
-            continue
-        path = by_name.get(name)
+            continue  # the ".alpha" entries were collected above
+        path = by_name.get(layer_name)
         if path is None:
             raise KeyError(f"LoRA key {key} does not match any model layer")
         v = np.asarray(value, np.float32)
@@ -346,5 +360,9 @@ def load_lora_weights(file: str | os.PathLike, reference_lora) -> dict:
             out[path + ("lora_down",)] = jnp.asarray(v)
         else:
             v = v.T if v.ndim == 2 else v[:, :, 0, 0].T
+            if spec is not None and layer_name in alphas:
+                factor = alphas[layer_name] / spec.stored_alpha
+                if factor != 1.0:
+                    v = v * factor
             out[path + ("lora_up",)] = jnp.asarray(v)
     return unflatten_dict(out)

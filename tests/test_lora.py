@@ -262,3 +262,67 @@ class TestGradientFlow:
             float(jnp.abs(v).sum()) for k, v in flat.items() if k[-1] == "lora_up"
         ]
         assert any(n > 0 for n in up_norms)
+
+
+class TestConsumerSemantics:
+    """The exported tensors must produce the same math in external consumers
+    (A1111 AddNet / kohya merge): effective delta_W = up @ down * alpha/rank
+    in torch layout applied to the base weight."""
+
+    def test_dense_export_matches_weight_merge(self):
+        import flax.linen as nn
+
+        from leco_tpu.lora import LoRADense
+
+        spec = LoRASpec(rank=2, alpha=1.0, train_method="full")
+
+        class Wrap(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return LoRADense(features=8, lora_spec=spec, name="attentions_0")(x)
+
+        model = Wrap()
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 8))
+        params = model.init(jax.random.PRNGKey(1), x)["params"]
+        base, lora = split_lora_params(params)
+        lora = jax.tree.map(
+            lambda v: jax.random.normal(jax.random.PRNGKey(2), v.shape) * 0.1, lora
+        )
+        out_lora = np.asarray(
+            model.apply({"params": merge_params(base, lora)}, x)
+        )
+
+        # external-consumer math: W' = W + up @ down * alpha/rank (torch layout)
+        state = export_lora_state(lora, spec)
+        key = "lora_unet_attentions_0"
+        up = state[f"{key}.lora_up.weight"]  # (out, r)
+        down = state[f"{key}.lora_down.weight"]  # (r, in)
+        alpha = float(state[f"{key}.alpha"])
+        rank = down.shape[0]
+        w_torch = np.asarray(base["attentions_0"]["kernel"]).T  # (out, in)
+        w_merged = w_torch + up @ down * (alpha / rank)
+        out_merged = np.asarray(x) @ w_merged.T + np.asarray(
+            base["attentions_0"]["bias"]
+        )
+        np.testing.assert_allclose(out_lora, out_merged, atol=1e-5)
+
+    def test_import_rescales_foreign_alpha(self, tmp_path):
+        """A file exported with alpha=4 loaded into a spec with alpha=1 must
+        reproduce the file's effective contribution (factor 4 on the ups)."""
+        spec_export = LoRASpec(rank=4, alpha=4.0)
+        spec_import = LoRASpec(rank=4, alpha=1.0)
+        _, params, _, _ = init_tiny(spec_export)
+        _, lora = split_lora_params(params)
+        lora = jax.tree.map(
+            lambda v: jax.random.normal(jax.random.PRNGKey(9), v.shape), lora
+        )
+        f = tmp_path / "foreign.safetensors"
+        save_lora_weights(f, lora, spec_export)
+        loaded = load_lora_weights(f, lora, spec=spec_import)
+        for k, v in flatten_dict(loaded).items():
+            orig = np.asarray(flatten_dict(lora)[k])
+            got = np.asarray(v)
+            if k[-1] == "lora_up":
+                np.testing.assert_allclose(got, orig * 4.0, rtol=1e-5)
+            else:
+                np.testing.assert_allclose(got, orig, rtol=1e-5)
