@@ -108,8 +108,7 @@ def main():
     stage(f"timed {n_iters} iters in {elapsed:.1f}s")
 
     its_per_sec = n_iters / elapsed
-    print(
-        json.dumps(
+    result = (
             {
                 "metric": f"LoRA train iters/sec/chip, SD1.5 {res}px bf16 rank4 ddim",
                 "value": round(its_per_sec, 4),
@@ -121,8 +120,13 @@ def main():
                 "remat": remat,
                 "batch": batch,
             }
-        )
     )
+    print(json.dumps(result))
+    try:  # append to the local history for cross-round tracking
+        with open("bench_history.jsonl", "a") as f:
+            f.write(json.dumps({**result, "ts": time.time()}) + "\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

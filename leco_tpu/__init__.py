@@ -20,3 +20,8 @@ from leco_tpu.prompts import (  # noqa: F401
     PromptEmbedsPair,
     load_prompts_from_yaml,
 )
+from leco_tpu.lora import (  # noqa: F401
+    LoRASpec,
+    load_lora_weights,
+    save_lora_weights,
+)
