@@ -246,12 +246,20 @@ def scale_lora_tree(lora, multiplier: float | jnp.ndarray):
 
 
 def lora_module_names(lora) -> list[str]:
-    """Export-layer names in tree order: 'lora_unet_<path>' per layer."""
+    """Export-layer names in tree order: 'lora_unet_<path>' per layer.
+    Asserts uniqueness — the reference's duplicate-name guard
+    (lora.py:139-144); with '_'-joined paths a collision would silently
+    alias two layers in the export."""
     seen: list[str] = []
+    paths = {k[:-1] for k in flatten_dict(lora)}
     for k in flatten_dict(lora):
         name = LORA_PREFIX_UNET + "_" + "_".join(k[:-1])
         if name not in seen:
             seen.append(name)
+    assert len(seen) == len(paths), (
+        f"duplicated lora name after path join: {len(paths)} layers -> "
+        f"{len(seen)} names"
+    )
     return seen
 
 

@@ -12,8 +12,10 @@ import jax.numpy as jnp
 
 
 def main(args):
+    from leco_tpu.parallel.distributed import maybe_initialize_distributed
     from leco_tpu.utils.cache import enable_compilation_cache
 
+    maybe_initialize_distributed()
     enable_compilation_cache()
     from leco_tpu.config import load_config_from_yaml, parse_precision
     from leco_tpu.lora import LoRASpec
