@@ -32,12 +32,26 @@ from jax.experimental.pallas import tpu as pltpu
 import os
 
 _MAX_BQ = int(os.environ.get("LECO_FLASH_BQ", "512"))
+_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the 16 MB scoped limit
 
 
-def _pick_q_block(n: int) -> int:
+def _kernel_vmem_bytes(bq: int, nk_pad: int, d: int, itemsize: int) -> int:
+    """Rough per-program VMEM: double-buffered q/o blocks + K + V blocks,
+    fp32 logits + probs, fp32 accumulator."""
+    qo = 2 * 2 * bq * d * itemsize
+    kv = 2 * 2 * nk_pad * d * itemsize
+    logits = 2 * bq * nk_pad * 4  # fp32 logits + exp
+    acc = bq * d * 4
+    return qo + kv + logits + acc
+
+
+def _pick_q_block(nq: int, nk_pad: int = 0, d: int = 128, itemsize: int = 2) -> int:
     for bq in (512, 256, 128, 64, 32, 16, 8):
-        if bq <= _MAX_BQ and n % bq == 0:
-            return bq
+        if bq > _MAX_BQ or nq % bq != 0:
+            continue
+        if nk_pad and _kernel_vmem_bytes(bq, nk_pad, d, itemsize) > _VMEM_BUDGET:
+            continue
+        return bq
     return 0
 
 
@@ -68,10 +82,10 @@ def _flash_fwd_3d(q3, k3, v3, scale: float):
     128 with masked columns (cross-attention has Nk == 77)."""
     bh, nq, d = q3.shape
     nk = k3.shape[1]
-    bq = _pick_q_block(nq)
-    assert bq, f"unsupported Nq={nq}"
-
     nk_pad = -(-nk // 128) * 128
+    bq = _pick_q_block(nq, nk_pad, d, q3.dtype.itemsize)
+    assert bq, f"unsupported attention shape Nq={nq} Nk={nk} D={d}"
+
     if nk_pad != nk:
         pad = [(0, 0), (0, nk_pad - nk), (0, 0)]
         k3 = jnp.pad(k3, pad)
@@ -145,6 +159,9 @@ def supports(nq: int, nk: int) -> bool:
     but measured end-to-end on v5e that loses to XLA's fused small-KV
     attention (1.72 vs 1.81 it/s on the SD1.5 bench), so cross-attention
     stays on the XLA path. Set LECO_FLASH_CROSS=1 to re-enable."""
+    nk_pad = -(-nk // 128) * 128
+    # head_dim/itemsize worst case for the budget check: d=160, bf16
+    fits = _pick_q_block(nq, nk_pad, 160, 2) > 0
     if os.environ.get("LECO_FLASH_CROSS") == "1":
-        return nq >= 256 and _pick_q_block(nq) > 0
-    return nq >= 256 and nk >= 256 and _pick_q_block(nq) > 0
+        return nq >= 256 and fits
+    return nq >= 256 and nk >= 256 and fits
