@@ -103,7 +103,10 @@ def main():
     start = time.perf_counter()
     for t_to in t_tos:
         lora, opt_state, loss, key = run_iter(lora, opt_state, key, int(t_to))
-    jax.block_until_ready(loss)
+        # force a full device sync EVERY iteration: async dispatch through
+        # remote-TPU tunnels can misreport readiness, and real training
+        # fetches the loss per step anyway — this is the honest number
+        float(loss)
     elapsed = time.perf_counter() - start
     stage(f"timed {n_iters} iters in {elapsed:.1f}s")
 
