@@ -23,7 +23,6 @@ import numpy as np
 
 from leco_tpu.lora import merge_params, scale_lora_tree
 from leco_tpu.models.loader import LoadedModels
-from leco_tpu.ops import schedulers as sched
 from leco_tpu.prompts import PromptEmbedsXL
 from leco_tpu.train import diffusion as diff
 

@@ -20,8 +20,6 @@ for SDXL-scale models and larger meshes.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from flax.traverse_util import flatten_dict, unflatten_dict

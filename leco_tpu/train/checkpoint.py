@@ -14,7 +14,7 @@ separate `<save.path>/state/` directory.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import numpy as np
