@@ -141,6 +141,33 @@ def group_norm_silu_ref(x, scale, bias, num_groups, eps, with_silu=True):
     return y.astype(x.dtype)
 
 
+def group_norm_silu_fast(x, scale, bias, num_groups, eps, with_silu=True):
+    """Bandwidth-lean XLA variant: statistics via f32-ACCUMULATED reductions
+    (no materialized f32 copy of the activation), elementwise normalize in
+    the input dtype with a pre-folded per-channel scale/shift. For bf16
+    activations the result differs from the fp32 reference only by bf16
+    rounding of O(1) values."""
+    b, h, w, c = x.shape
+    cg = c // num_groups
+    x4 = x.reshape(b, h * w, num_groups, cg)
+    mean = jnp.mean(x4, axis=(1, 3), keepdims=True, dtype=jnp.float32)
+    sq = jnp.mean(
+        jnp.square(x4.astype(jnp.float32)), axis=(1, 3), keepdims=True,
+        dtype=jnp.float32,
+    )
+    var = sq - jnp.square(mean)
+    inv = jax.lax.rsqrt(var + eps)  # (b, 1, G, 1)
+    # fold into per-(batch, channel) scale/shift, then one bf16 elementwise op
+    inv_c = jnp.broadcast_to(inv, (b, 1, num_groups, cg)).reshape(b, 1, 1, c)
+    mean_c = jnp.broadcast_to(mean, (b, 1, num_groups, cg)).reshape(b, 1, 1, c)
+    eff_scale = scale.astype(jnp.float32) * inv_c
+    eff_shift = bias.astype(jnp.float32) - mean_c * eff_scale
+    y = x.astype(jnp.float32) * eff_scale + eff_shift
+    if with_silu:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_group_norm(x, scale, bias, num_groups, eps, with_silu):
     return group_norm_silu(x, scale, bias, num_groups, eps, with_silu)
@@ -182,6 +209,7 @@ import flax.linen as nn
 # row-chunk loops underutilize the VPU vs XLA's wide fusions. Kept as an
 # opt-in (LECO_TPU_FUSED_GN=1) and as the base for future fusion work.
 _FUSED_GN_ENABLED = os.environ.get("LECO_TPU_FUSED_GN", "0") == "1"
+_FAST_GN_ENABLED = os.environ.get("LECO_TPU_FAST_GN", "1") == "1"
 
 
 class FusedGroupNorm(nn.Module):
@@ -206,6 +234,10 @@ class FusedGroupNorm(nn.Module):
         )
         if use_kernel:
             return fused_group_norm(
+                x, scale, bias, self.num_groups, self.eps, self.with_silu
+            )
+        if _FAST_GN_ENABLED and x.dtype == jnp.bfloat16:
+            return group_norm_silu_fast(
                 x, scale, bias, self.num_groups, self.eps, self.with_silu
             )
         return group_norm_silu_ref(

@@ -78,3 +78,25 @@ class TestKernel:
         assert supports((2, 16, 16, 1280), jnp.bfloat16)
         assert not supports((1, 128, 128, 640), jnp.bfloat16)  # > VMEM budget
         assert not supports((1, 64, 64), jnp.bfloat16)
+
+
+class TestFastVariant:
+    @pytest.mark.parametrize("with_silu", [False, True])
+    def test_fast_matches_ref_bf16(self, with_silu):
+        from leco_tpu.ops.group_norm import group_norm_silu_fast
+
+        x, scale, bias = _data(dtype=jnp.bfloat16, seed=5)
+        fast = group_norm_silu_fast(x, scale, bias, 4, 1e-5, with_silu)
+        ref = group_norm_silu_ref(x, scale, bias, 4, 1e-5, with_silu)
+        np.testing.assert_allclose(
+            np.asarray(fast, np.float32), np.asarray(ref, np.float32), atol=2e-2
+        )
+
+    def test_fast_grad_finite(self):
+        from leco_tpu.ops.group_norm import group_norm_silu_fast
+
+        x, scale, bias = _data(seed=6)
+        g = jax.grad(
+            lambda x: jnp.sum(group_norm_silu_fast(x, scale, bias, 4, 1e-5) ** 2)
+        )(x)
+        assert np.isfinite(np.asarray(g)).all()
