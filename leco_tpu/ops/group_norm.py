@@ -209,7 +209,9 @@ import flax.linen as nn
 # row-chunk loops underutilize the VPU vs XLA's wide fusions. Kept as an
 # opt-in (LECO_TPU_FUSED_GN=1) and as the base for future fusion work.
 _FUSED_GN_ENABLED = os.environ.get("LECO_TPU_FUSED_GN", "0") == "1"
-_FAST_GN_ENABLED = os.environ.get("LECO_TPU_FAST_GN", "1") == "1"
+# measured 1.59 vs 1.62 it/s on the SD1.5 bench — XLA's fusion of the fp32
+# reference formulation is already optimal; keep opt-in for experiments
+_FAST_GN_ENABLED = os.environ.get("LECO_TPU_FAST_GN", "0") == "1"
 
 
 class FusedGroupNorm(nn.Module):
