@@ -208,3 +208,48 @@ class TestDtypes:
         params = model.init(jax.random.PRNGKey(0), sample, 0, ctx)["params"]
         out = model.apply({"params": params}, sample, 10, ctx)
         assert out.dtype == jnp.bfloat16
+
+
+class TestSD2StyleConfig:
+    """SD2.x-specific paths: linear proj_in/proj_out, fp32-upcast attention,
+    per-level head counts."""
+
+    def _cfg(self):
+        import dataclasses
+
+        return dataclasses.replace(
+            tiny_unet_config(),
+            use_linear_projection=True,
+            upcast_attention=True,
+            attention_head_dim=(2, 4),
+        )
+
+    def test_forward_and_lora_targets(self):
+        from flax.traverse_util import flatten_dict
+
+        from leco_tpu.lora import LoRASpec, split_lora_params
+
+        cfg = self._cfg()
+        model = UNet2DConditionModel(config=cfg, lora_spec=LoRASpec(rank=2))
+        x = jnp.zeros((1, 16, 16, 4))
+        ctx = jnp.zeros((1, 77, cfg.cross_attention_dim))
+        params = model.init(jax.random.PRNGKey(0), x, 0, ctx)["params"]
+        # proj_in is a Dense now: kernel must be 2-D
+        flat = flatten_dict(params)
+        k = ("down_blocks_0", "attentions_0", "proj_in", "kernel")
+        assert flat[k].ndim == 2
+        # and it still gets a (dense) LoRA
+        assert ("down_blocks_0", "attentions_0", "proj_in", "lora_down") in flat
+        out = model.apply({"params": params}, x, 10, ctx)
+        assert out.shape == x.shape
+        base, lora = split_lora_params(params)
+        assert len(flatten_dict(lora)) > 0
+
+    def test_train_step_runs(self, tmp_path):
+        from leco_tpu.testing import make_random_bundle
+        from tests.test_trainer import tiny_config, tiny_prompts
+        from leco_tpu.train.trainer import train
+
+        bundle = make_random_bundle(config=self._cfg())
+        result = train(tiny_config(tmp_path, iterations=2), tiny_prompts(), bundle)
+        assert all(np.isfinite(l) for l in result["losses"])
