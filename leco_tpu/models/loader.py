@@ -116,7 +116,13 @@ def unet_config_from_json(config: dict) -> UNetConfig:
             config.get("transformer_layers_per_block", 1)
         ),
         cross_attention_dim=config.get("cross_attention_dim", 768),
-        attention_head_dim=tup(config.get("attention_head_dim", 8)),
+        # UNetConfig.attention_head_dim is the HEAD COUNT (diffusers-legacy
+        # semantics, correct for every SD-family config.json). If a config
+        # sets the modern explicit num_attention_heads, prefer it.
+        attention_head_dim=tup(
+            config.get("num_attention_heads")
+            or config.get("attention_head_dim", 8)
+        ),
         use_linear_projection=config.get("use_linear_projection", False),
         upcast_attention=config.get("upcast_attention", False) or False,
         addition_embed_type=config.get("addition_embed_type"),
