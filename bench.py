@@ -122,6 +122,11 @@ def main():
                 "attn": attn,
                 "remat": remat,
                 "batch": batch,
+                # Sync discipline is part of the number's meaning: "per_iter"
+                # fetches the loss every step (honest; what training does).
+                # Async-only timing misreports through remote-TPU tunnels and
+                # produced a bogus 65 it/s datapoint in round 1 — never again.
+                "sync": "per_iter",
             }
     )
     print(json.dumps(result))

@@ -161,12 +161,19 @@ def ldm_unet_to_diffusers(
     state_dict: Mapping[str, np.ndarray],
     num_blocks: int | None = None,
     layers_per_block: int = 2,
+    strict: bool = True,
 ) -> dict[str, np.ndarray]:
     """'model.diffusion_model.*' LDM UNet keys -> diffusers UNet keys.
 
     Handles SD1.x/2.x (4 levels) and SDXL (3 levels) — the level count is
     inferred from the highest input_blocks index, and attention presence per
     block is detected from the keys themselves.
+
+    With ``strict`` (the default), any ``model.diffusion_model.*`` key the
+    mapping does not cover raises with the full list of leftover keys — a
+    partially-understood checkpoint must fail loudly, not load a silently
+    incomplete UNet (the reference gets this for free from diffusers'
+    ``from_single_file``, model_util.py:77-101).
     """
     prefix = "model.diffusion_model."
     sd = {
@@ -260,6 +267,22 @@ def ldm_unet_to_diffusers(
     for ldm_key, diff_key in mapping.items():
         if ldm_key in sd:
             out[diff_key] = sd[ldm_key]
+    if strict:
+        unmapped = sorted(set(sd) - set(mapping))
+        if unmapped:
+            shown = "\n  ".join(
+                f"model.diffusion_model.{k}" for k in unmapped[:40]
+            )
+            more = (
+                f"\n  ... and {len(unmapped) - 40} more" if len(unmapped) > 40 else ""
+            )
+            raise ValueError(
+                f"{len(unmapped)} UNet key(s) in this checkpoint are not "
+                f"covered by the LDM->diffusers mapping (inferred "
+                f"num_blocks={num_blocks}, layers_per_block={layers_per_block}); "
+                f"refusing to load a partial UNet. Leftover keys:\n  {shown}{more}\n"
+                "If these are expected non-UNet extras, pass strict=False."
+            )
     return out
 
 

@@ -137,12 +137,20 @@ def unet_config_from_json(config: dict) -> UNetConfig:
 
 def clip_config_from_json(config: dict, clip_skip: Optional[int] = None) -> CLIPTextConfig:
     num_layers = config.get("num_hidden_layers", 12)
-    # reference clip-skip arithmetic (model_util.py:48,62):
-    # v2 default is clip skip 2 == drop the last layer
+    # reference clip-skip arithmetic (model_util.py:48,62): clip_skip=k drops
+    # the last k-1 layers. When clip_skip is None the config's own layer count
+    # stands as-is — note SD2-family configs often ship already truncated to
+    # 23 layers (clip-skip-2 baked in); applying clip_skip on top of such a
+    # config stacks, so validate the result is sane.
     if clip_skip is not None:
         num_layers = num_layers - (clip_skip - 1)
-    elif config.get("num_hidden_layers", 12) == 23:
-        pass  # SD2 text encoders usually already truncated in their config
+        if num_layers < 1:
+            raise ValueError(
+                f"clip_skip={clip_skip} would leave {num_layers} encoder "
+                f"layers (config has {config.get('num_hidden_layers', 12)}); "
+                "the checkpoint's text-encoder config may already be "
+                "truncated — use a smaller clip_skip or none."
+            )
     return CLIPTextConfig(
         vocab_size=config.get("vocab_size", 49408),
         hidden_size=config.get("hidden_size", 768),
@@ -340,11 +348,21 @@ def _load_single_file(
         from leco_tpu.models.unet import sd15_config
 
         unet_config = sd15_config()
-    assert unet_config.cross_attention_dim == cross_dim, (
-        f"checkpoint cross-attention dim {cross_dim} does not match "
-        f"v2={v2} expectation {unet_config.cross_attention_dim}"
-    )
-    assert unet_config.use_linear_projection == use_linear
+    if unet_config.cross_attention_dim != cross_dim:
+        raise ValueError(
+            f"checkpoint cross-attention dim is {cross_dim} but v2={v2} "
+            f"implies {unet_config.cross_attention_dim}. If this is an SD2.x "
+            "checkpoint, set pretrained_model.v2: true in the config (the "
+            "reference requires the same flag, config_util.py:17); if it is "
+            "SD1.x, unset it."
+        )
+    if unet_config.use_linear_projection != use_linear:
+        raise ValueError(
+            f"checkpoint transformer proj_in is "
+            f"{'linear' if use_linear else 'conv'} but the v2={v2} config "
+            f"expects {'linear' if unet_config.use_linear_projection else 'conv'} "
+            "— the v2 flag likely does not match the checkpoint."
+        )
 
     unet, base, lora = _build_unet(
         unet_config, unet_sd, lora_spec, weight_dtype, attn_backend, remat

@@ -175,6 +175,11 @@ class CLIPTokenizer:
         text = _whitespace_clean(_basic_clean(text)).lower()
         ids: list[int] = []
         for token in _PATTERN.findall(text):
+            if token in self.vocab and token.startswith("<|"):
+                # special-token literals ("<|startoftext|>"/"<|endoftext|>")
+                # map to their ids directly, matching HF's added-token split
+                ids.append(self.vocab[token])
+                continue
             token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
             if self._native is not None:
                 try:
