@@ -67,6 +67,10 @@ class TrainConfig(_Section):
     save_state: bool = False  # orbax full-state snapshots at save cadence
     resume: bool = False  # resume from the latest snapshot in save.path/state
     tensor_parallel: int = 1  # tp axis size (Megatron-style transformer TP)
+    # sp axis size: shard the latent H dim so batch-1 recipes scale across a
+    # slice (GSPMD halo-exchanges the convs, reduces GroupNorm stats). 0 =
+    # auto (use every device not consumed by dp on the internal CFG batch)
+    spatial_parallel: int = 1
 
 
 class SaveConfig(_Section):

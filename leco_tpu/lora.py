@@ -177,6 +177,21 @@ class LoRAConv(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
 
+    def _is_hot_3x3(self, in_features: int) -> bool:
+        """The Pallas implicit-GEMM kernel targets the UNet's hot stride-1
+        3x3 convs; thin-channel convs (conv_in, conv_out, lora_down) and
+        strided downsamplers stay on XLA."""
+        if isinstance(self.padding, str):
+            return False
+        return (
+            tuple(self.kernel_size) == (3, 3)
+            and tuple(self.strides) == (1, 1)
+            and tuple(map(tuple, self.padding)) == ((1, 1), (1, 1))
+            and in_features >= 128
+            and self.features >= 128
+            and self.use_bias
+        )
+
     @nn.compact
     def __call__(self, x):
         in_features = x.shape[-1]
@@ -187,12 +202,20 @@ class LoRAConv(nn.Module):
             (kh, kw, in_features, self.features),
             self.param_dtype,
         )
-        y = self._conv(x, kernel.astype(self.dtype))
-        if self.use_bias:
+        from leco_tpu.ops.conv import conv3x3, default_conv_backend
+
+        if default_conv_backend() == "gemm" and self._is_hot_3x3(in_features):
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,), self.param_dtype
             )
-            y = y + bias.astype(self.dtype)
+            y = conv3x3(x, kernel.astype(self.dtype), bias.astype(jnp.float32))
+        else:
+            y = self._conv(x, kernel.astype(self.dtype))
+            if self.use_bias:
+                bias = self.param(
+                    "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+                )
+                y = y + bias.astype(self.dtype)
 
         spec = self.lora_spec
         if spec is not None and spec.matches(self.path):

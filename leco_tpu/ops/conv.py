@@ -64,13 +64,13 @@ def _pick_block(m_rows: int, w2: int, cin: int, cout: int, itemsize: int = 2):
 
 
 def _conv_kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *, bm: int, w2: int):
-    """x_ref: (slab_rows, Cin); w_ref: (9, Cin, Cout); b_ref: (1, Cout);
+    """x_ref: (1, slab_rows, Cin); w_ref: (9, Cin, Cout); b_ref: (1, Cout);
     o_ref: (1, bm, Cout)."""
     acc_ref[...] = jnp.zeros_like(acc_ref)
     for dy in range(3):
         for dx in range(3):
             off = dy * w2 + dx
-            a = x_ref[off : off + bm, :]
+            a = x_ref[0, off : off + bm, :]
             acc_ref[...] += jax.lax.dot(
                 a, w_ref[dy * 3 + dx], preferred_element_type=jnp.float32
             )
@@ -90,7 +90,9 @@ def conv3x3_gemm(
     bm = _pick_block(m, w2, cin, cout, x.dtype.itemsize)
     if bm is None:  # pathological shape: fall back to XLA
         return _xla_conv3x3(x, kernel, bias)
-    slab_rows = bm + 2 * w2 + 2
+    # Mosaic wants the sublane block dim divisible by 8; the extra rows read
+    # past the last tap offset are covered by the (H+3) row padding below
+    slab_rows = -(-(bm + 2 * w2 + 2) // 8) * 8
 
     # pad: +1 ring for the convolution, +1 extra bottom row so the last
     # block's slab read ([m - bm, m + 2*w2 + 2)) stays inside the
@@ -108,7 +110,7 @@ def conv3x3_gemm(
         grid=(b, m // bm),
         in_specs=[
             pl.BlockSpec(
-                (pl.Squeezed(), pl.Element(slab_rows), cin),
+                (pl.Element(1), pl.Element(slab_rows), pl.Element(cin)),
                 lambda bi, i: (bi, i * bm, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -189,7 +191,9 @@ conv3x3.defvjp(_conv3x3_fwd, _conv3x3_bwd)
 
 
 def default_conv_backend() -> str:
-    env = os.environ.get("LECO_CONV_BACKEND")
-    if env:
-        return env
-    return "gemm" if jax.devices()[0].platform == "tpu" else "xla"
+    """Measured on the real chip (profile_fwd A/B, res 512 batch 2): the
+    Pallas kernel's per-conv time matches XLA's conv fusions, but the
+    pad/reshape/slice boundary costs ~2.3 ms/fwd extra — XLA's convs were
+    never the bottleneck (the per-component attribution lives in
+    docs/DESIGN.md). Kernel stays opt-in: LECO_CONV_BACKEND=gemm."""
+    return os.environ.get("LECO_CONV_BACKEND", "xla")

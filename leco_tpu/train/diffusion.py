@@ -92,14 +92,19 @@ def predict_noise(
     text_embeddings: jnp.ndarray,
     guidance_scale: float = 7.5,
     added_cond_kwargs: Optional[dict] = None,
+    constrain_fn: Optional[Callable] = None,
 ) -> jnp.ndarray:
     """Single-batched CFG prediction (train_util.py:142-168 / 217-257).
 
     `unet_apply(sample, timesteps, encoder_hidden_states, added_cond_kwargs)`
     closes over the params. `text_embeddings` is the packed (2B, 77, d)
     uncond+cond batch; `step_index` indexes `state`'s schedule.
+    `constrain_fn` (optional) applies a sharding constraint to the packed 2B
+    CFG input — the point where batch-1 training becomes shardable over dp.
     """
     latent_in = jnp.concatenate([latents] * 2, axis=0)
+    if constrain_fn is not None:
+        latent_in = constrain_fn(latent_in)
     latent_in = sched.scale_model_input(state, latent_in, step_index)
     t = state.timesteps[step_index]
     noise_pred = unet_apply(latent_in, t, text_embeddings, added_cond_kwargs)
@@ -116,6 +121,7 @@ def diffusion(
     total_timesteps,
     guidance_scale: float = 3.0,
     added_cond_kwargs: Optional[dict] = None,
+    constrain_fn: Optional[Callable] = None,
 ) -> jnp.ndarray:
     """Partial denoise from pure noise for `total_timesteps` steps of the
     `state` schedule (train_util.py:171-193). `total_timesteps` may be a
@@ -141,6 +147,7 @@ def diffusion(
             text_embeddings,
             guidance_scale=guidance_scale,
             added_cond_kwargs=added_cond_kwargs,
+            constrain_fn=constrain_fn,
         )
         if kind == "ddim":
             latents = sched.step_ddim(state, noise_pred, i, latents)

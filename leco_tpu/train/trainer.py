@@ -111,7 +111,7 @@ def make_train_step(
 
     @functools.partial(
         jax.jit,
-        static_argnames=("height", "width", "shard_batch"),
+        static_argnames=("height", "width", "shard_batch", "shard_internal"),
         donate_argnames=("lora", "opt_state"),
     )
     def step(
@@ -127,14 +127,23 @@ def make_train_step(
         height: int,
         width: int,
         shard_batch: bool,
+        shard_internal: bool = False,
     ):
         batch = pack["target_embeds"].shape[0]
         k_latents, k_sched = jax.random.split(key)
+
+        # shard_internal: batch-1 multi-chip mode — the INTERNAL batches
+        # (2B CFG, 3B refs) shard over dp and the latent H over sp, so a
+        # v5e-8 accelerates the reference's default batch-1 recipe without
+        # changing training semantics (VERDICT round 1, item 4).
+        def constrain(x):
+            return mesh_lib.constrain_internal(x, mesh, shard_internal)
 
         latents = diff.get_initial_latents(
             k_latents, state_n, batch, height, width
         )
         latents = mesh_lib.constrain_batch(latents, mesh, shard_batch)
+        latents = constrain(latents)
 
         params_on = merge_params(base, lora)
 
@@ -149,6 +158,7 @@ def make_train_step(
             timesteps_to,
             guidance_scale=inner_guidance_scale,
             added_cond_kwargs=pack.get("inner_added"),
+            constrain_fn=constrain if shard_internal else None,
         )
         denoised = jax.lax.stop_gradient(denoised)
 
@@ -160,7 +170,7 @@ def make_train_step(
 
         # ---- 3 reference predictions, LoRA OFF, one batched call
         # (guidance 1 == conditioned branch only; train_lora.py:202-237)
-        ref_in = jnp.tile(denoised, (3, 1, 1, 1)) * in_scale
+        ref_in = constrain(jnp.tile(denoised, (3, 1, 1, 1)) * in_scale)
         ref_preds = apply_unet(
             base, ref_in, t, pack["ref_embeds"], pack.get("ref_added")
         )
@@ -172,7 +182,7 @@ def make_train_step(
             params = merge_params(base, lora_p)
             pred = apply_unet(
                 params,
-                denoised * in_scale,
+                constrain(denoised * in_scale),
                 t,
                 pack["target_embeds"],
                 pack.get("target_added"),
@@ -404,6 +414,16 @@ def train(
 
         key, sub = jax.random.split(key)
         shard = mesh_lib.shardable_batch(pair.batch_size, mesh)
+        # batch-1 multi-chip: when the logical batch cannot shard, shard the
+        # internal 2B/3B packs over dp and the latent H over sp instead
+        shard_internal = (
+            mesh is not None
+            and not shard
+            and (
+                mesh_lib.axis_size(mesh, mesh_lib.DP_AXIS) > 1
+                or mesh_lib.axis_size(mesh, mesh_lib.SP_AXIS) > 1
+            )
+        )
         lora, opt_state, loss = step_fn(
             base,
             lora,
@@ -416,6 +436,7 @@ def train(
             height=height,
             width=width,
             shard_batch=shard,
+            shard_internal=shard_internal,
         )
 
         # async loss drain: with logging.interval > 1 the host keeps

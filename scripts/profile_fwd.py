@@ -103,6 +103,15 @@ def analyze(logdir: str, n_calls: int, top: int = 45):
     for name, t in op_time.most_common(top):
         n = op_count[name] // n_calls
         print(f"{t/n_calls*1e3:8.3f} ms  {100*t/total:4.1f}%  x{n:<3d} {name[:100]}")
+    dump = os.environ.get("LECO_PROFILE_DUMP")
+    if dump:
+        import json
+
+        with open(dump, "w") as f:
+            json.dump(
+                {k: v / n_calls * 1e3 for k, v in op_time.items()}, f
+            )
+        print(f"per-op times written to {dump}")
 
 
 if __name__ == "__main__":

@@ -41,6 +41,11 @@ def main(args):
     if use_flash is None:
         use_flash = config.other.use_xformers or default_backend() == "flash"
     backend = "flash" if use_flash else "xla"
+    if config.train.spatial_parallel != 1 and backend == "flash":
+        # Pallas custom calls are opaque to GSPMD — under spatial sharding
+        # they would force replication; XLA attention partitions cleanly.
+        print("spatial_parallel: using XLA attention (GSPMD-partitionable)")
+        backend = "xla"
 
     models = load_models(
         config.pretrained_model.name_or_path,
@@ -78,7 +83,22 @@ def main(args):
     check_frozen_params(bundle.base_params)
 
     mesh = None
-    if config.train.data_parallel or config.train.tensor_parallel > 1:
+    if config.train.spatial_parallel != 1 and config.train.tensor_parallel > 1:
+        raise ValueError("spatial_parallel and tensor_parallel are exclusive")
+    if config.train.spatial_parallel != 1:
+        import jax
+
+        from leco_tpu.parallel.mesh import get_mesh_dp_sp
+
+        n = len(jax.devices())
+        sp = config.train.spatial_parallel
+        if sp == 0:  # auto: dp takes the 2B CFG factor, sp the rest
+            sp = max(1, n // 2)
+        mesh = get_mesh_dp_sp(sp=sp)
+        from leco_tpu.parallel.sharding import replicate_params
+
+        bundle.base_params = replicate_params(bundle.base_params, mesh)
+    elif config.train.data_parallel or config.train.tensor_parallel > 1:
         mesh = make_mesh_2d(tp=config.train.tensor_parallel)
         bundle.base_params = shard_unet_params(bundle.base_params, mesh)
     train(config, prompts, bundle, mesh=mesh)
