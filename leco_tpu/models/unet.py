@@ -249,15 +249,16 @@ class GEGLU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = LoRADense(
+        # value * gelu_exact(gate) fused into the projection's epilogue on
+        # TPU (leco_tpu/ops/geglu.py); LoRA still composes pre-activation
+        return LoRADense(
             self.inner_dim * 2,
             name="proj",
+            geglu=True,
             lora_spec=self.lora_spec,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )(x)
-        value, gate = jnp.split(x, 2, axis=-1)
-        return value * nn.gelu(gate, approximate=False)
 
 
 class FeedForward(nn.Module):
@@ -406,14 +407,13 @@ class Upsample2D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, c = x.shape
-        # nearest-neighbor x2 via broadcast (cheaper than gather-based resize)
-        x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
-        x = x.reshape(b, h * 2, w * 2, c)
+        # the nearest-2x upsample is folded into the conv (phase-conv form
+        # when no LoRA targets it — see LoRAConv.pre_upsample)
         return LoRAConv(
             self.channels,
             (3, 3),
             padding=((1, 1), (1, 1)),
+            pre_upsample=True,
             name="conv",
             lora_spec=self.lora_spec,
             dtype=self.dtype,

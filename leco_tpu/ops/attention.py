@@ -16,6 +16,7 @@ attention over the 77 text tokens.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax.numpy as jnp
 from einops import rearrange
@@ -55,20 +56,29 @@ def multi_head_attention(
     """
     head_dim = q.shape[-1] // num_heads
     scale = head_dim**-0.5
+
+    if backend == "flash":
+        from leco_tpu.ops import flash_attention as fa
+
+        # the packed-layout kernel (flash_attention_packed) avoids the HBM
+        # head transposes but loses 2.7x on chip: its in-kernel 40-lane head
+        # slices force Mosaic relayout copies that dwarf the transpose cost.
+        # Measured in the fwd trace (docs/DESIGN.md); opt-in for study only.
+        if os.environ.get("LECO_FLASH_PACKED") == "1" and fa.supports_packed(
+            q.shape[1], k.shape[1], q.shape[-1], num_heads, q.dtype.itemsize
+        ):
+            return fa.flash_attention_packed(q, k, v, num_heads, scale)
+        if fa.supports(q.shape[1], k.shape[1]):
+            qh = rearrange(q, "b n (h d) -> b n h d", h=num_heads)
+            kh = rearrange(k, "b n (h d) -> b n h d", h=num_heads)
+            vh = rearrange(v, "b n (h d) -> b n h d", h=num_heads)
+            out = fa.flash_attention(qh, kh, vh, scale=scale)
+            return rearrange(out, "b n h d -> b n (h d)")
+
     qh = rearrange(q, "b n (h d) -> b n h d", h=num_heads)
     kh = rearrange(k, "b n (h d) -> b n h d", h=num_heads)
     vh = rearrange(v, "b n (h d) -> b n h d", h=num_heads)
-
-    use_flash = False
-    if backend == "flash":
-        from leco_tpu.ops.flash_attention import flash_attention, supports
-
-        use_flash = supports(q.shape[1], k.shape[1])
-    if use_flash:
-        out = flash_attention(qh, kh, vh, scale=scale)
-    else:
-        out = _xla_attention(qh, kh, vh, scale, upcast)
-
+    out = _xla_attention(qh, kh, vh, scale, upcast)
     return rearrange(out, "b n h d -> b n (h d)")
 
 

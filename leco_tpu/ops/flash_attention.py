@@ -59,22 +59,26 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
     q = q_ref[0]  # (Bq, D)
     k = k_ref[0]  # (Nk_pad, D)
     v = v_ref[0]  # (Nk_pad, D)
+    # fold the softmax scale into the (Bq, D) q block, NOT the (Bq, Nk)
+    # logits — saves one full N^2 fp32 VPU pass (bf16 rounding of q*scale
+    # matches what the XLA path does with q * scale before its einsum)
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
     logits = jax.lax.dot_general(
         q,
         k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    logits = logits * scale
     if kv_len != k.shape[0]:  # KV was padded (cross-attention over 77 tokens)
         col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
         logits = jnp.where(col < kv_len, logits, -1e30)
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / denom).astype(v.dtype)
-    out = jnp.dot(p, v, preferred_element_type=jnp.float32)
-    o_ref[0] = out.astype(o_ref.dtype)
+    out = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    # fold the normalization into the (Bq, D) output, NOT the probabilities
+    # — saves another N^2 pass
+    o_ref[0] = (out / denom).astype(o_ref.dtype)
 
 
 def _flash_fwd_3d(q3, k3, v3, scale: float):
@@ -151,6 +155,153 @@ def flash_attention(
     v3 = rearrange(v, "b n h d -> (b h) n d")
     o3 = _flash_3d(q3, k3, v3, scale)
     return rearrange(o3, "(b h) n d -> b n h d", b=b, h=h)
+
+
+# ---------------------------------------------------------------------------
+# packed-layout kernel: (B, N, C) in, (B, N, C) out, heads split in-kernel
+# ---------------------------------------------------------------------------
+#
+# The (b h) n d layout above costs two real HBM transposes per tensor (the
+# rearranges) AND pads the 40/80-wide head dim to 128 lanes in HBM — ~3x the
+# bytes at SD1.5's level-0 heads. Traced on chip (docs/DESIGN.md), those
+# copies were ~5% of the whole forward. This variant keeps the model's
+# natural (B, N, heads*D) layout end to end: the grid walks (batch,
+# q-blocks), each program holds the FULL packed K/V in VMEM and loops heads
+# as 128-lane-relayout slices, so nothing is transposed in HBM. Two further
+# N^2-pass savings vs the 3d kernel: the softmax scale is folded into the
+# (bq, D) q slice instead of the (bq, Nk) logits, and the denominator is
+# applied to the (bq, D) output instead of the (bq, Nk) probabilities.
+
+
+def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, heads, scale, kv_len):
+    q = q_ref[0]  # (Bq, C)
+    k = k_ref[0]  # (Nk_pad, C)
+    v = v_ref[0]
+    c = q.shape[-1]
+    d = c // heads
+    outs = []
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        # fold scale into the (Bq, D) q slice — not the (Bq, Nk) logits
+        qh = (q[:, sl].astype(jnp.float32) * scale).astype(q.dtype)
+        logits = jax.lax.dot_general(
+            qh,
+            k[:, sl],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if kv_len != k.shape[0]:  # padded KV (cross-attention)
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col < kv_len, logits, -1e30)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        oh = jnp.dot(
+            p.astype(v.dtype), v[:, sl], preferred_element_type=jnp.float32
+        )
+        # fold the normalization into the (Bq, D) output — not the probs
+        outs.append(oh * (1.0 / denom))
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _packed_vmem_bytes(bq: int, nk_pad: int, c: int, itemsize: int) -> int:
+    qo = 2 * 2 * bq * c * itemsize  # double-buffered q + o blocks
+    kv = 2 * 2 * nk_pad * c * itemsize  # double-buffered full K + V
+    logits = 2 * bq * nk_pad * 4  # fp32 logits + exp
+    probs = bq * nk_pad * itemsize
+    return qo + kv + logits + probs
+
+
+def _pick_q_block_packed(nq: int, nk_pad: int, c: int, itemsize: int) -> int:
+    for bq in (512, 256, 128, 64, 32, 16, 8):
+        if bq > _MAX_BQ or nq % bq != 0:
+            continue
+        if _packed_vmem_bytes(bq, nk_pad, c, itemsize) > _VMEM_BUDGET:
+            continue
+        return bq
+    return 0
+
+
+def _flash_fwd_packed(q2, k2, v2, heads: int, scale: float):
+    """q2: (B, Nq, C); k2/v2: (B, Nk, C) -> (B, Nq, C)."""
+    b, nq, c = q2.shape
+    nk = k2.shape[1]
+    nk_pad = -(-nk // 128) * 128
+    bq = _pick_q_block_packed(nq, nk_pad, c, q2.dtype.itemsize)
+    assert bq, f"unsupported packed attention shape Nq={nq} Nk={nk} C={c}"
+
+    if nk_pad != nk:
+        pad = [(0, 0), (0, nk_pad - nk), (0, 0)]
+        k2 = jnp.pad(k2, pad)
+        v2 = jnp.pad(v2, pad)
+
+    return pl.pallas_call(
+        functools.partial(
+            _attn_kernel_packed, heads=heads, scale=scale, kv_len=nk
+        ),
+        grid=(b, nq // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, c), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk_pad, c), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk_pad, c), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bq, c), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nq, c), q2.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * nq * nk_pad * c,
+            bytes_accessed=(q2.size + k2.size + v2.size) * q2.dtype.itemsize * 2,
+            transcendentals=b * nq * nk_pad * heads,
+        ),
+    )(q2, k2, v2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention_packed(q2, k2, v2, heads: int, scale: float):
+    """Packed-layout flash attention: (B, N, heads*D) in and out."""
+    return _flash_fwd_packed(q2, k2, v2, heads, scale)
+
+
+def _packed_fwd(q2, k2, v2, heads, scale):
+    return _flash_fwd_packed(q2, k2, v2, heads, scale), (q2, k2, v2)
+
+
+def _packed_bwd(heads, scale, residuals, g):
+    q2, k2, v2 = residuals
+    b, nq, c = q2.shape
+    d = c // heads
+    f32 = jnp.float32
+
+    def split(x):
+        return x.reshape(b, x.shape[1], heads, d).astype(f32)
+
+    q, k, v, g4 = split(q2), split(k2), split(v2), split(g)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    p = jax.nn.softmax(logits, axis=-1)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, g4)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", g4, v)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k) * scale
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q) * scale
+    rs = lambda x, n: x.reshape(b, n, c)
+    return (
+        rs(dq, nq).astype(q2.dtype),
+        rs(dk, k2.shape[1]).astype(k2.dtype),
+        rs(dv, v2.shape[1]).astype(v2.dtype),
+    )
+
+
+flash_attention_packed.defvjp(_packed_fwd, _packed_bwd)
+
+
+def supports_packed(nq: int, nk: int, c: int, heads: int, itemsize: int = 2) -> bool:
+    if c % heads != 0:
+        return False
+    nk_pad = -(-nk // 128) * 128
+    return nq >= 256 and nk >= 256 and (
+        _pick_q_block_packed(nq, nk_pad, c, itemsize) > 0
+    )
 
 
 def supports(nq: int, nk: int) -> bool:

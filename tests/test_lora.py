@@ -326,3 +326,29 @@ class TestConsumerSemantics:
                 np.testing.assert_allclose(got, orig * 4.0, rtol=1e-5)
             else:
                 np.testing.assert_allclose(got, orig, rtol=1e-5)
+
+
+class TestPhaseConvUpsample:
+    """Upsample2D's conv with pre_upsample=True must equal
+    upsample2x_nearest followed by the plain 3x3 conv, exactly (the
+    phase-conv form is a pure re-indexing; see LoRAConv._phase_conv_up2x)."""
+
+    def test_matches_materialized_upsample(self):
+        import jax
+        import jax.numpy as jnp
+        from leco_tpu.lora import LoRAConv, upsample2x_nearest
+
+        for shape, co in [((2, 8, 8, 16), 24), ((1, 5, 7, 8), 8)]:
+            x = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.float32)
+            ref = LoRAConv(co, (3, 3), padding=((1, 1), (1, 1)))
+            params = ref.init(jax.random.PRNGKey(1), upsample2x_nearest(x))[
+                "params"
+            ]
+            want = ref.apply({"params": params}, upsample2x_nearest(x))
+            ph = LoRAConv(
+                co, (3, 3), padding=((1, 1), (1, 1)), pre_upsample=True
+            )
+            got = ph.apply({"params": params}, x)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=2e-5
+            )
