@@ -11,11 +11,14 @@ the ~16 MB VMEM, so no online-softmax streaming is needed; the fusion win
 (never materializing the N x N matrix in HBM, unlike naive attention) is
 retained. Matmuls run on the MXU with fp32 accumulation.
 
-Backward: custom VJP that recomputes the probabilities with plain XLA einsum
-(flash-style recompute, no residual P). In the ESD training step only the
-B-sized target prediction is differentiated — the t_to-step inner loop and
-the 3B reference predictions are forward-only — so the backward's N x N
-materialization is a tiny slice of the step.
+Backward: Pallas kernels (dQ over q-blocks, dK/dV over k-blocks) that
+recompute the probabilities from the saved log-sum-exp — flash-style, the
+N x N matrix never touches HBM in either direction, so attention memory
+stays O(N·D) at any batch. Falls back to an XLA einsum recompute (which
+does materialize N x N) when the shapes don't fit the VMEM budget or
+LECO_FLASH_BWD=xla. In the ESD training step only the B-sized target
+prediction is differentiated — the t_to-step inner loop and the 3B
+reference predictions are forward-only.
 """
 
 from __future__ import annotations
@@ -55,7 +58,9 @@ def _pick_q_block(nq: int, nk_pad: int = 0, d: int = 128, itemsize: int = 2) -> 
     return 0
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
+def _attn_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, kv_len: int
+):
     q = q_ref[0]  # (Bq, D)
     k = k_ref[0]  # (Nk_pad, D)
     v = v_ref[0]  # (Nk_pad, D)
@@ -79,11 +84,14 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
     # fold the normalization into the (Bq, D) output, NOT the probabilities
     # — saves another N^2 pass
     o_ref[0] = (out / denom).astype(o_ref.dtype)
+    # log-sum-exp residual for the Pallas backward: one (Bq, 1) fp32 write
+    lse_ref[0] = m + jnp.log(denom)
 
 
 def _flash_fwd_3d(q3, k3, v3, scale: float):
     """q3: (BH, Nq, D); k3/v3: (BH, Nk, D). Nk is padded to a multiple of
-    128 with masked columns (cross-attention has Nk == 77)."""
+    128 with masked columns (cross-attention has Nk == 77). Returns
+    (out, lse) with lse: (BH, Nq, 1) fp32 = logsumexp of the scaled logits."""
     bh, nq, d = q3.shape
     nk = k3.shape[1]
     nk_pad = -(-nk // 128) * 128
@@ -104,10 +112,14 @@ def _flash_fwd_3d(q3, k3, v3, scale: float):
             pl.BlockSpec((1, nk_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nk_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((bh, nq, d), q3.dtype),
+        out_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nq, d), q3.dtype),
+            jax.ShapeDtypeStruct((bh, nq, 1), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * bh * nq * nk_pad * d,
             bytes_accessed=(q3.size + k3.size + v3.size) * q3.dtype.itemsize * 2,
@@ -116,17 +128,181 @@ def _flash_fwd_3d(q3, k3, v3, scale: float):
     )(q3, k3, v3)
 
 
+# ---------------------------------------------------------------------------
+# Pallas backward: flash-style recompute from the saved LSE, never
+# materializing the N x N probabilities in HBM (the XLA fallback below does,
+# which caps batch scaling — VERDICT r1 item 7). Two kernels:
+#   dQ:   grid over q blocks; each program re-forms its (Bq, Nk) row block
+#         of P from Q·K^T and the saved LSE, then dQ = (P∘(dP-Δ))·K.
+#   dK/dV: grid over k blocks; each program re-forms the (Bk, Nq) column
+#         block P^T, then dV = P^T·dO and dK = (P∘(dP-Δ))^T·Q.
+# Δ = rowsum(dO ∘ O) is a cheap (N, D) XLA reduction outside the kernels.
+# ---------------------------------------------------------------------------
+
+
+def _attn_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, scale, kv_len
+):
+    k = k_ref[0]  # (Nk_pad, D)
+    v = v_ref[0]
+    do = do_ref[0]  # (Bq, D)
+    # fold scale into q for the logits (same rounding as the forward)
+    qs = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    logits = jax.lax.dot_general(
+        qs, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    p = jnp.exp(logits - lse_ref[0])  # (Bq, Nk_pad) fp32
+    if kv_len != k.shape[0]:
+        col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+        p = jnp.where(col < kv_len, p, 0.0)
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = (p * (dp - delta_ref[0])).astype(k.dtype)
+    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
+    # fold scale into the (Bq, D) output, not the (Bq, Nk) ds
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _attn_bwd_dkv_kernel(
+    k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    *, scale, bk, kv_len,
+):
+    k = k_ref[0]  # (Bk, D)
+    v = v_ref[0]
+    do = do_ref[0]  # (Nq, D)
+    lse = lse_ref[0].reshape(1, -1)  # (1, Nq)
+    delta = delta_ref[0].reshape(1, -1)
+    # qs carries the softmax scale for BOTH the logits and dK (dK = s·dS^T·Q)
+    qs = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    logits_t = jax.lax.dot_general(
+        k, qs, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Bk, Nq)
+    p_t = jnp.exp(logits_t - lse)
+    if kv_len is not None:  # zero the padded key rows
+        row = jax.lax.broadcasted_iota(jnp.int32, p_t.shape, 0)
+        row = row + pl.program_id(1) * bk
+        p_t = jnp.where(row < kv_len, p_t, 0.0)
+    dv_ref[0] = jnp.dot(
+        p_t.astype(do.dtype), do, preferred_element_type=jnp.float32
+    ).astype(dv_ref.dtype)
+    dp_t = jax.lax.dot_general(
+        v, do, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds_t = (p_t * (dp_t - delta)).astype(qs.dtype)
+    dk_ref[0] = jnp.dot(
+        ds_t, qs, preferred_element_type=jnp.float32
+    ).astype(dk_ref.dtype)
+
+
+def _bwd_dq_vmem(bq, nk_pad, d, itemsize):
+    blocks = 2 * 2 * bq * d * itemsize  # q + do (double-buffered)
+    kv = 2 * 2 * nk_pad * d * itemsize
+    nsq = 3 * bq * nk_pad * 4  # logits, p, dp in fp32
+    return blocks + kv + nsq + 2 * bq * d * 4
+
+
+def _bwd_dkv_vmem(bk, nq, d, itemsize):
+    blocks = 2 * 4 * bk * d * itemsize  # k, v, dk, dv
+    qdo = 2 * 2 * nq * d * itemsize
+    nsq = 3 * bk * nq * 4
+    return blocks + qdo + nsq + 2 * bk * d * 4
+
+
+def _pick_block(n, fits):
+    for b in (512, 256, 128, 64, 32, 16, 8):
+        if b > _MAX_BQ or n % b != 0:
+            continue
+        if fits(b):
+            return b
+    return 0
+
+
+def _flash_bwd_3d(q3, k3, v3, lse, delta, g, scale: float):
+    bh, nq, d = q3.shape
+    nk = k3.shape[1]
+    nk_pad = -(-nk // 128) * 128
+    it = q3.dtype.itemsize
+    bq = _pick_block(nq, lambda b: _bwd_dq_vmem(b, nk_pad, d, it) <= _VMEM_BUDGET)
+    bk = _pick_block(nk_pad, lambda b: _bwd_dkv_vmem(b, nq, d, it) <= _VMEM_BUDGET)
+    if not (bq and bk):
+        return None  # caller falls back to the XLA recompute
+
+    if nk_pad != nk:
+        pad = [(0, 0), (0, nk_pad - nk), (0, 0)]
+        k3 = jnp.pad(k3, pad)
+        v3 = jnp.pad(v3, pad)
+
+    kd = pl.BlockSpec((1, nk_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
+    qblk = pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((1, bq, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_attn_bwd_dq_kernel, scale=scale, kv_len=nk),
+        grid=(bh, nq // bq),
+        in_specs=[qblk, kd, kd, qblk, row, row],
+        out_specs=qblk,
+        out_shape=jax.ShapeDtypeStruct((bh, nq, d), q3.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * bh * nq * nk_pad * d,
+            bytes_accessed=(q3.size * 3 + k3.size + v3.size) * it,
+            transcendentals=bh * nq * nk_pad,
+        ),
+    )(q3, k3, v3, g, lse, delta)
+
+    kblk = pl.BlockSpec((1, bk, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
+    qd = pl.BlockSpec((1, nq, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
+    full_row = pl.BlockSpec((1, nq, 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _attn_bwd_dkv_kernel,
+            scale=scale,
+            bk=bk,
+            kv_len=(nk if nk_pad != nk else None),
+        ),
+        grid=(bh, nk_pad // bk),
+        in_specs=[kblk, kblk, qd, qd, full_row, full_row],
+        out_specs=[kblk, kblk],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nk_pad, d), k3.dtype),
+            jax.ShapeDtypeStruct((bh, nk_pad, d), v3.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * 2 * bh * nq * nk_pad * d,
+            bytes_accessed=(q3.size * 2 + k3.size * 2 + v3.size * 2) * it,
+            transcendentals=bh * nq * nk_pad,
+        ),
+    )(k3, v3, q3, g, lse, delta)
+    if nk_pad != nk:
+        dk = dk[:, :nk]
+        dv = dv[:, :nk]
+    return dq, dk, dv
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash_3d(q3, k3, v3, scale):
-    return _flash_fwd_3d(q3, k3, v3, scale)
+    return _flash_fwd_3d(q3, k3, v3, scale)[0]
 
 
 def _flash_3d_fwd(q3, k3, v3, scale):
-    return _flash_fwd_3d(q3, k3, v3, scale), (q3, k3, v3)
+    out, lse = _flash_fwd_3d(q3, k3, v3, scale)
+    return out, (q3, k3, v3, out, lse)
 
 
 def _flash_3d_bwd(scale, residuals, g):
-    q3, k3, v3 = residuals
+    q3, k3, v3, out, lse = residuals
+    if os.environ.get("LECO_FLASH_BWD", "pallas") == "pallas":
+        delta = jnp.sum(
+            g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1,
+            keepdims=True,
+        )
+        grads = _flash_bwd_3d(q3, k3, v3, lse, delta, g, scale)
+        if grads is not None:
+            return grads
+    # XLA recompute fallback (materializes N x N — fine at small shapes)
     f32 = jnp.float32
     q = q3.astype(f32)
     k = k3.astype(f32)

@@ -10,9 +10,9 @@ p1atdev/LECO) with optax equivalents:
   lion        lion_pytorch.Lion          optax.lion (weight_decay=0.0)
   prodigy     prodigyopt.Prodigy         optax.contrib.prodigy
   dadaptadam  dadaptation.DAdaptAdam     optax.contrib.dadapt_adamw
-  adam8bit    bitsandbytes Adam8bit      optax.adam — LoRA states are ~MBs,
-  lion8bit    bitsandbytes Lion8bit      optax.lion   8-bit states pointless
-  dadaptlion  dadaptation.DAdaptLion     optax.contrib.dadapt_adamw (approx)
+  dadaptlion  dadaptation.DAdaptLion     train/dadapt.py (published algorithm)
+  adam8bit    bitsandbytes Adam8bit      train/quant8.py — blockwise dynamic
+  lion8bit    bitsandbytes Lion8bit      8-bit states per Dettmers et al.
 
 The `optimizer_args` mini-DSL ("key=value key=value", ast.literal_eval per
 value — train_lora.py:82-89) is parsed here, with torch arg names mapped to
@@ -127,21 +127,35 @@ def get_optimizer(
     kwargs = _map_torch_kwargs(parse_optimizer_args(optimizer_args))
 
     if name.startswith("dadapt"):
-        # DAdapt family -> optax.contrib.dadapt_adamw (learning-rate-free)
-        return optax.contrib.dadapt_adamw(learning_rate=lr_schedule, **kwargs)
+        if name == "dadaptlion":
+            from leco_tpu.train.dadapt import dadapt_lion
 
-    if name in ("adam", "adam8bit"):
+            return dadapt_lion(learning_rate=lr_schedule, **kwargs)
+        if name == "dadaptadam":
+            return optax.contrib.dadapt_adamw(learning_rate=lr_schedule, **kwargs)
+        raise ValueError("DAdapt optimizer must be dadaptadam or dadaptlion")
+
+    if name == "adam":
         kwargs.setdefault("eps", 1e-8)
         return optax.adam(learning_rate=lr_schedule, **kwargs)
+    if name == "adam8bit":
+        from leco_tpu.train.quant8 import adam8bit
+
+        kwargs.setdefault("eps", 1e-8)
+        return adam8bit(learning_rate=lr_schedule, **kwargs)
     if name == "adamw":
         kwargs.setdefault("eps", 1e-8)
         kwargs.setdefault("weight_decay", 0.01)  # torch AdamW default
         return optax.adamw(learning_rate=lr_schedule, **kwargs)
-    if name in ("lion", "lion8bit"):
+    if name == "lion":
         kwargs.setdefault("b1", 0.9)
         kwargs.setdefault("b2", 0.99)
         kwargs.setdefault("weight_decay", 0.0)  # lion_pytorch default
         return optax.lion(learning_rate=lr_schedule, **kwargs)
+    if name == "lion8bit":
+        from leco_tpu.train.quant8 import lion8bit
+
+        return lion8bit(learning_rate=lr_schedule, **kwargs)
     if name == "prodigy":
         return optax.contrib.prodigy(learning_rate=lr_schedule, **kwargs)
 

@@ -43,21 +43,27 @@ def test_forward_matches_xla(n, nk, heads, d, dtype):
     )
 
 
-def test_grad_matches_xla():
-    n, h, d = 256, 2, 32
+@pytest.mark.parametrize("bwd", ["pallas", "xla"])
+@pytest.mark.parametrize("n,nk,h,d", [(256, 256, 2, 32), (512, 77, 2, 40)])
+def test_grad_matches_xla(n, nk, h, d, bwd, monkeypatch):
+    """Both backward paths (Pallas kernels and the XLA recompute fallback)
+    against autodiff through the reference attention."""
+    monkeypatch.setenv("LECO_FLASH_BWD", bwd)
+    if nk != n:
+        monkeypatch.setenv("LECO_FLASH_CROSS", "1")
     q = _rand((1, n, h, d), 3)
-    k = _rand((1, n, h, d), 4)
-    v = _rand((1, n, h, d), 5)
+    k = _rand((1, nk, h, d), 4)
+    v = _rand((1, nk, h, d), 5)
     scale = d**-0.5
 
     def f_flash(q, k, v):
-        with pltpu.force_tpu_interpret_mode():
-            return jnp.sum(flash_attention(q, k, v, scale) ** 2)
+        return jnp.sum(flash_attention(q, k, v, scale) ** 2)
 
     def f_ref(q, k, v):
         return jnp.sum(_xla_attention(q, k, v, scale, upcast=True) ** 2)
 
-    g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
     g2 = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -154,7 +154,7 @@ class TestOptimFactories:
 
     @pytest.mark.parametrize(
         "name", ["adam", "adamw", "lion", "adam8bit", "lion8bit", "prodigy",
-                 "dadaptadam"]
+                 "dadaptadam", "dadaptlion"]
     )
     def test_optimizers_step(self, name):
         opt = get_optimizer(name, lambda i: 1e-3)
