@@ -112,6 +112,15 @@ def _kaiming_down_init(key, shape, dtype):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
+def _lora_ride_along() -> bool:
+    """LECO_LORA_FUSE=1 opts into the concat-GEMM LoRA fusion (A/B knob).
+
+    Mathematically identical (same two GEMMs), but the wider GEMM may tile/
+    reassociate differently, so "fresh LoRA == base model" holds to ~1e-4
+    instead of bitwise — kept opt-in until the on-chip win justifies it."""
+    return os.environ.get("LECO_LORA_FUSE", "0") == "1"
+
+
 class LoRADense(nn.Module):
     """nn.Dense with an optional LoRA branch; params named `kernel`/`bias`
     plus `lora_down` (in, r) / `lora_up` (r, out) when targeted.
@@ -163,6 +172,19 @@ class LoRADense(nn.Module):
                 "lora_up", nn.initializers.zeros, (r, self.features), jnp.float32
             )
 
+        # ride-along fusion: concatenate lora_down's r columns onto the base
+        # kernel so x@W and x@down come out of ONE GEMM — the MXU output-lane
+        # padding (e.g. 320 -> 384) absorbs the +r columns for free, and x is
+        # read from HBM once instead of twice. The concat itself is loop-
+        # invariant, so XLA hoists it out of the inner denoise fori_loop.
+        # Bitwise-identical math (same two GEMMs, same dtypes).
+        ride = lora_active and _lora_ride_along()
+        xd = None
+        if ride:
+            w2 = jnp.concatenate(
+                [kernel.astype(self.dtype), down.astype(self.dtype)], axis=1
+            )
+
         if self.geglu:
             from leco_tpu.ops.geglu import (
                 default_geglu_backend,
@@ -170,12 +192,21 @@ class LoRADense(nn.Module):
                 geglu_reference,
             )
 
-            xd = up_c = None
+            up_c = None
             if lora_active:
-                scale = spec.stored_alpha / spec.rank
-                xd = (x @ down.astype(self.dtype)) * jnp.asarray(
-                    scale, self.dtype
+                scale = jnp.asarray(
+                    spec.stored_alpha / spec.rank, self.dtype
                 )
+                if ride:
+                    yz = x @ w2
+                    xd = yz[..., self.features :] * scale
+                    proj = yz[..., : self.features]
+                    if bias is not None:
+                        proj = proj + bias.astype(self.dtype)
+                    proj = proj + xd @ up.astype(self.dtype)
+                    value, gate = jnp.split(proj, 2, axis=-1)
+                    return value * nn.gelu(gate, approximate=False)
+                xd = (x @ down.astype(self.dtype)) * scale
                 up_c = up.astype(self.dtype)
             fn = (
                 geglu_fused
@@ -184,12 +215,19 @@ class LoRADense(nn.Module):
             )
             return fn(x, kernel.astype(self.dtype), bias, xd, up_c)
 
-        y = x @ kernel.astype(self.dtype)
+        if ride:
+            yz = x @ w2
+            y = yz[..., : self.features]
+            xd = yz[..., self.features :]
+        else:
+            y = x @ kernel.astype(self.dtype)
         if bias is not None:
             y = y + bias.astype(self.dtype)
         if lora_active:
             scale = spec.stored_alpha / spec.rank
-            delta = (x @ down.astype(self.dtype)) @ up.astype(self.dtype)
+            if xd is None:
+                xd = x @ down.astype(self.dtype)
+            delta = xd @ up.astype(self.dtype)
             y = y + delta * jnp.asarray(scale, self.dtype)
         return y
 
