@@ -199,18 +199,28 @@ def _attn_bwd_dkv_kernel(
     ).astype(dk_ref.dtype)
 
 
+# VMEM accounting for the backward kernels. Calibrated against a real
+# compile failure: at (bq=128, nk_pad=4096, d=40) the dQ kernel's scoped
+# stack allocation measured 16.40 MB — i.e. the lane dim pads d to 128 in
+# VMEM and Mosaic materializes ~6 fp32 N^2 temporaries (logits, exp arg,
+# p, dp, ds and a cast), not the 3 a naive reading of the kernel suggests.
+_NSQ_BUFFERS = 6
+
+
 def _bwd_dq_vmem(bq, nk_pad, d, itemsize):
-    blocks = 2 * 2 * bq * d * itemsize  # q + do (double-buffered)
-    kv = 2 * 2 * nk_pad * d * itemsize
-    nsq = 3 * bq * nk_pad * 4  # logits, p, dp in fp32
-    return blocks + kv + nsq + 2 * bq * d * 4
+    d_pad = -(-d // 128) * 128
+    blocks = 2 * 2 * bq * d_pad * itemsize  # q + do (double-buffered)
+    kv = 2 * 2 * nk_pad * d_pad * itemsize
+    nsq = _NSQ_BUFFERS * bq * nk_pad * 4
+    return blocks + kv + nsq + 2 * bq * d_pad * 4
 
 
 def _bwd_dkv_vmem(bk, nq, d, itemsize):
-    blocks = 2 * 4 * bk * d * itemsize  # k, v, dk, dv
-    qdo = 2 * 2 * nq * d * itemsize
-    nsq = 3 * bk * nq * 4
-    return blocks + qdo + nsq + 2 * bk * d * 4
+    d_pad = -(-d // 128) * 128
+    blocks = 2 * 4 * bk * d_pad * itemsize  # k, v, dk, dv
+    qdo = 2 * 2 * nq * d_pad * itemsize
+    nsq = _NSQ_BUFFERS * bk * nq * 4
+    return blocks + qdo + nsq + 2 * bk * d_pad * 4
 
 
 def _pick_block(n, fits):
