@@ -190,29 +190,39 @@ class LoRADense(nn.Module):
                 default_geglu_backend,
                 geglu_fused,
                 geglu_reference,
+                geglu_split,
             )
 
+            backend = default_geglu_backend()
             up_c = None
             if lora_active:
                 scale = jnp.asarray(
                     spec.stored_alpha / spec.rank, self.dtype
                 )
                 if ride:
-                    yz = x @ w2
-                    xd = yz[..., self.features :] * scale
-                    proj = yz[..., : self.features]
+                    # value-half GEMM carries the lora_down columns; the
+                    # gate GEMM stays separate so its gelu*mul epilogue
+                    # fuses (see ops/geglu.py default_geglu_backend)
+                    n = self.features // 2
+                    kd = self.dtype
+                    yzv = x @ jnp.concatenate(
+                        [kernel[:, :n].astype(kd), down.astype(kd)], axis=1
+                    )
+                    value = yzv[..., :n]
+                    xd = yzv[..., n:] * scale
+                    gate = x @ kernel[:, n:].astype(kd)
                     if bias is not None:
-                        proj = proj + bias.astype(self.dtype)
-                    proj = proj + xd @ up.astype(self.dtype)
-                    value, gate = jnp.split(proj, 2, axis=-1)
+                        value = value + bias[:n].astype(kd)
+                        gate = gate + bias[n:].astype(kd)
+                    value = value + xd @ up[:, :n].astype(kd)
+                    gate = gate + xd @ up[:, n:].astype(kd)
                     return value * nn.gelu(gate, approximate=False)
                 xd = (x @ down.astype(self.dtype)) * scale
                 up_c = up.astype(self.dtype)
-            fn = (
-                geglu_fused
-                if default_geglu_backend() == "fused"
-                else geglu_reference
-            )
+            fn = {
+                "fused": geglu_fused,
+                "split": geglu_split,
+            }.get(backend, geglu_reference)
             return fn(x, kernel.astype(self.dtype), bias, xd, up_c)
 
         if ride:

@@ -1,4 +1,4 @@
-"""Shape-aware roofline model of the SD1.5 UNet forward on TPU.
+"""Shape-aware roofline model of the SD1.5 / SDXL UNet forward on TPU.
 
 For every MXU-bound component this computes the FLOPs and the *attainable*
 ceiling given its GEMM shapes — the MXU is 128 lanes wide, so a GEMM whose
@@ -9,7 +9,7 @@ floor instead. Optionally joins the measured per-component times from an
 attribute_fwd dump to print measured/attainable fractions.
 
 Usage:
-  python scripts/roofline.py [--batch 2] [--res 512]
+  python scripts/roofline.py [--batch 2] [--res 512] [--model sd15|sdxl]
   python scripts/roofline.py /tmp/fwd_ops.json /tmp/fwd_hlo.txt   # + measured
 
 The peak numbers default to TPU v5e: 197 TFLOP/s bf16, 819 GB/s HBM.
@@ -25,10 +25,22 @@ PEAK_FLOPS = 197e12  # bf16
 PEAK_BW = 819e9
 PEAK_VPU = 3.9e12  # ~8x128 lanes x 4 ALUs x ~950 MHz, fp32 elementwise/s
 
-# SD1.5 UNet config (diffusers stable-diffusion-v1-5/unet/config.json)
-CHANNELS = [320, 640, 1280, 1280]
-HEADS = 8  # attention_head_dim=8 means 8 heads (diffusers quirk) -> d = C/8
-CTX = (77, 768)  # cross-attention tokens, dim
+# UNet configs (diffusers unet/config.json of each)
+SD15 = dict(
+    channels=[320, 640, 1280, 1280],
+    heads=8,  # attention_head_dim=8 means 8 heads (diffusers quirk), d=C/8
+    head_dim=None,
+    tx_layers=[1, 1, 1, 0],  # transformer layers per attn block, per level
+    ctx=(77, 768),
+)
+SDXL = dict(
+    channels=[320, 640, 1280],
+    heads=None,
+    head_dim=64,  # attention_head_dim=64 -> heads = C/64
+    tx_layers=[0, 2, 10],  # level 0 has no attention in SDXL
+    ctx=(77, 2048),
+)
+CFG = SD15
 
 
 def _ceil(x, m):
@@ -73,30 +85,32 @@ def conv3x3(sheet, bucket, b, hw, cin, cout):
     sheet.gemm(bucket, b * hw, 9 * cin, cout)
 
 
-def attn_block(sheet, b, hw, c, lvl):
+def attn_block(sheet, b, hw, c, layers):
     n = hw
-    heads = HEADS
+    heads = CFG["heads"] or c // CFG["head_dim"]
     d = c // heads
+    CTX = CFG["ctx"]
     sheet.bw(f"transformer/norm", 2 * 2 * b * hw * c)
     sheet.gemm("transformer/proj", b * n, c, c)  # proj_in
-    for which, (nk, kdim) in (("attn1", (n, c)), ("attn2", CTX)):
-        sheet.gemm(f"{which}/to_q", b * n, c, c)
-        sheet.gemm(f"{which}/to_kv", b * nk, kdim, 2 * c)
+    for _layer in range(layers):
+      for which, (nk, kdim) in (("attn1", (n, c)), ("attn2", CTX)):
+          sheet.gemm(f"{which}/to_q", b * n, c, c)
+          sheet.gemm(f"{which}/to_kv", b * nk, kdim, 2 * c)
         # core: per head (n,d)@(d,nk) and (n,nk)@(nk,d), all in VMEM;
         # softmax = ~2 fp32 VPU passes over N^2 (max + exp; the scale and
         # the denominator are folded into the (n,d) tensors — see
         # ops/flash_attention.py). exp throughput is approximated at one
         # VPU op/element.
-        sheet.gemm(f"{which}/core", b * heads * n, d, _ceil(nk, 128), in_vmem=True)
-        sheet.gemm(f"{which}/core", b * heads * n, _ceil(nk, 128), d, in_vmem=True)
-        sheet.vpu(f"{which}/core", b * heads * n * _ceil(nk, 128), 2)
-        sheet.bw(f"{which}/core", 4 * 2 * b * n * c)  # q/k/v/o HBM round-trip
-        sheet.gemm(f"{which}/to_out", b * n, c, c)
-    for _ in range(3):
-        sheet.bw("transformer/ln", 2 * 2 * b * n * c)
-    sheet.gemm("transformer/ff", b * n, c, 8 * c)  # GEGLU proj
-    sheet.bw("transformer/ff", 2 * 2 * b * n * 4 * c)  # gelu*mul pass
-    sheet.gemm("transformer/ff", b * n, 4 * c, c)  # net_2
+          sheet.gemm(f"{which}/core", b * heads * n, d, _ceil(nk, 128), in_vmem=True)
+          sheet.gemm(f"{which}/core", b * heads * n, _ceil(nk, 128), d, in_vmem=True)
+          sheet.vpu(f"{which}/core", b * heads * n * _ceil(nk, 128), 2)
+          sheet.bw(f"{which}/core", 4 * 2 * b * n * c)  # q/k/v/o round-trip
+          sheet.gemm(f"{which}/to_out", b * n, c, c)
+      for _ in range(3):
+          sheet.bw("transformer/ln", 2 * 2 * b * n * c)
+      sheet.gemm("transformer/ff", b * n, c, 8 * c)  # GEGLU proj
+      sheet.bw("transformer/ff", 2 * 2 * b * n * 4 * c)  # gelu*mul pass
+      sheet.gemm("transformer/ff", b * n, 4 * c, c)  # net_2
     sheet.gemm("transformer/proj", b * n, c, c)  # proj_out
 
 
@@ -111,46 +125,49 @@ def resnet(sheet, b, hw, cin, cout):
 
 
 def build(b, res):
+    chans = CFG["channels"]
+    tx = CFG["tx_layers"]
+    nlvl = len(chans)
     hw0 = (res // 8) ** 2
     s = Sheet()
-    conv3x3(s, "conv_in/out", b, hw0, 4, CHANNELS[0])
+    conv3x3(s, "conv_in/out", b, hw0, 4, chans[0])
     s.gemm("time_embedding", b, 320, 1280)
     s.gemm("time_embedding", b, 1280, 1280)
 
-    skips = [(CHANNELS[0], hw0)]
-    cin = CHANNELS[0]
+    skips = [(chans[0], hw0)]
+    cin = chans[0]
     hw = hw0
-    for lvl, c in enumerate(CHANNELS):
+    for lvl, c in enumerate(chans):
         for i in range(2):
             resnet(s, b, hw, cin if i == 0 else c, c)
-            if lvl < 3:
-                attn_block(s, b, hw, c, lvl)
+            if tx[lvl]:
+                attn_block(s, b, hw, c, tx[lvl])
             skips.append((c, hw))
             cin = c
-        if lvl < 3:
+        if lvl < nlvl - 1:
             conv3x3(s, "updown/sample", b, hw // 4, c, c)  # stride-2 conv
             hw //= 4
             skips.append((c, hw))
 
-    resnet(s, b, hw, CHANNELS[3], CHANNELS[3])  # mid
-    attn_block(s, b, hw, CHANNELS[3], 3)
-    resnet(s, b, hw, CHANNELS[3], CHANNELS[3])
+    resnet(s, b, hw, chans[-1], chans[-1])  # mid
+    attn_block(s, b, hw, chans[-1], tx[-1] or 1)
+    resnet(s, b, hw, chans[-1], chans[-1])
 
-    cin = CHANNELS[3]
-    for lvl in range(3, -1, -1):
-        c = CHANNELS[lvl]
+    cin = chans[-1]
+    for lvl in range(nlvl - 1, -1, -1):
+        c = chans[lvl]
         for i in range(3):
             skip_c, _ = skips.pop()
             resnet(s, b, hw, cin + skip_c, c)
-            if lvl < 3:  # up_blocks[0] (8x8) is the attention-free one
-                attn_block(s, b, hw, c, lvl)
+            if tx[lvl]:
+                attn_block(s, b, hw, c, tx[lvl])
             cin = c
         if lvl > 0:
             # phase-conv upsampler: 2.25x fewer flops than conv-after-2x
             s.gemm("updown/sample", b * hw, 4 * c, 4 * c)
             hw *= 4
-    s.bw("conv_in/out", 2 * 2 * b * hw0 * CHANNELS[0])  # conv_norm_out
-    conv3x3(s, "conv_in/out", b, hw0, CHANNELS[0], 4)
+    s.bw("conv_in/out", 2 * 2 * b * hw0 * chans[0])  # conv_norm_out
+    conv3x3(s, "conv_in/out", b, hw0, chans[0], 4)
     return s
 
 
@@ -159,7 +176,11 @@ def main():
     ap.add_argument("dumps", nargs="*", help="ops.json hlo.txt (optional)")
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--res", type=int, default=512)
+    ap.add_argument("--model", choices=["sd15", "sdxl"], default="sd15")
     args = ap.parse_args()
+
+    global CFG
+    CFG = SDXL if args.model == "sdxl" else SD15
 
     sheet = build(args.batch, args.res)
 
@@ -187,7 +208,7 @@ def main():
     total_floor = sum(r[1] for r in sheet.rows.values())
     total_by = sum(r[2] for r in sheet.rows.values())
     print(
-        f"SD1.5 @{args.res} batch {args.batch}: {total_fl/1e9:.0f} GFLOP, "
+        f"{args.model} @{args.res} batch {args.batch}: {total_fl/1e9:.0f} GFLOP, "
         f"{total_by/1e6:.0f} MB min HBM traffic"
     )
     print(
