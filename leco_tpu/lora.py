@@ -113,12 +113,15 @@ def _kaiming_down_init(key, shape, dtype):
 
 
 def _lora_ride_along() -> bool:
-    """LECO_LORA_FUSE=1 opts into the concat-GEMM LoRA fusion (A/B knob).
+    """Concat-GEMM LoRA fusion (LECO_LORA_FUSE=0 opts out).
 
     Mathematically identical (same two GEMMs), but the wider GEMM may tile/
     reassociate differently, so "fresh LoRA == base model" holds to ~1e-4
-    instead of bitwise — kept opt-in until the on-chip win justifies it."""
-    return os.environ.get("LECO_LORA_FUSE", "0") == "1"
+    instead of bitwise. Measured on chip: 1.78 -> 1.83 it/s on the SD1.5
+    bench (the GEGLU ride path must keep the gate GEMM separate — the
+    single-concat form that merges value|gate|down into one GEMM breaks
+    XLA's gelu fusion and costs ~20%, measured 1.46 it/s)."""
+    return os.environ.get("LECO_LORA_FUSE", "1") == "1"
 
 
 class LoRADense(nn.Module):
@@ -415,6 +418,38 @@ def merge_params(base, lora) -> dict:
     """(base, lora) -> one apply-able tree. Cheap: dict-level merge."""
     flat = dict(flatten_dict(base))
     flat.update(flatten_dict(lora))
+    return unflatten_dict(flat)
+
+
+def fold_lora_params(base, lora, spec: LoRASpec) -> dict:
+    """(base, lora) -> a base-SHAPED tree with every targeted kernel
+    replaced by W + compose(down, up) * (alpha / r) — the exact merge a
+    consumer (A1111 AddNet) performs, proven equivalent to the branch form
+    by tests/test_lora.py::TestConsumerSemantics.
+
+    Used for the inner-denoise loop of the train step: the loop reuses the
+    SAME LoRA params for every one of its ~t_to UNet calls and sits under
+    stop_gradient, so folding once per iteration removes all rank-r GEMMs
+    from the hot path at zero semantic cost (float reassociation only:
+    W+delta rounds to the param dtype once instead of adding bf16
+    activations). Conv LoRA composes linearly:
+    conv(x, down) @1x1 up == conv(x, einsum('hwir,ro->hwio', down, up))."""
+    flat = dict(flatten_dict(base))
+    lflat = flatten_dict(lora)
+    for path in {k[:-1] for k in lflat}:
+        down = lflat[path + ("lora_down",)]
+        up = lflat[path + ("lora_up",)]
+        kkey = path + ("kernel",)
+        w = flat[kkey]
+        r = down.shape[-1]
+        scale = spec.stored_alpha / r  # conv r may be clamped (lora.py:72)
+        if down.ndim == 4:
+            delta = jnp.einsum("hwir,ro->hwio", down, up)
+        else:
+            delta = down @ up
+        flat[kkey] = (
+            w.astype(jnp.float32) + delta.astype(jnp.float32) * scale
+        ).astype(w.dtype)
     return unflatten_dict(flat)
 
 

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import json
 from pathlib import Path
 from typing import Callable, Optional
@@ -51,6 +52,7 @@ from leco_tpu.config import RootConfig, parse_precision
 from leco_tpu.lora import (
     LoRASpec,
     count_lora_modules,
+    fold_lora_params,
     merge_params,
     save_lora_weights,
     split_lora_params,
@@ -145,7 +147,14 @@ def make_train_step(
         latents = mesh_lib.constrain_batch(latents, mesh, shard_batch)
         latents = constrain(latents)
 
-        params_on = merge_params(base, lora)
+        # LoRA ON for the inner loop. Default: fold the rank-r branches
+        # into the kernels once (the loop reuses them ~t_to times under
+        # stop_gradient — see lora.fold_lora_params). LECO_FOLD_INNER=0
+        # keeps the literal branch form.
+        if os.environ.get("LECO_FOLD_INNER", "1") == "1":
+            params_on = fold_lora_params(base, lora, bundle.spec)
+        else:
+            params_on = merge_params(base, lora)
 
         # ---- inner partial denoise, LoRA ON, guidance 3 (train_lora.py:179-193)
         unet_on = lambda s, t, c, a: apply_unet(params_on, s, t, c, a)

@@ -98,8 +98,11 @@ class TestInitAndApply:
         assert count_lora_modules(lora) > 0
         out_base = model.apply({"params": base}, sample, 10, ctx)
         out_merged = model.apply({"params": merge_params(base, lora)}, sample, 10, ctx)
+        # atol: the ride-along fusion (lora._lora_ride_along) widens the
+        # base GEMM by r columns, which may retile/reassociate the fp32
+        # reduction — identity holds to reassociation tolerance, not bitwise
         np.testing.assert_allclose(
-            np.asarray(out_base), np.asarray(out_merged), atol=1e-6
+            np.asarray(out_base), np.asarray(out_merged), atol=1e-4
         )
 
     def test_nonzero_up_changes_output(self):
@@ -121,8 +124,9 @@ class TestInitAndApply:
         off = scale_lora_tree(lora, 0.0)
         out_base = model.apply({"params": base}, sample, 10, ctx)
         out_off = model.apply({"params": merge_params(base, off)}, sample, 10, ctx)
+        # atol 1e-4: ride-along reassociation, see test_up_zero_init_means_identity
         np.testing.assert_allclose(
-            np.asarray(out_base), np.asarray(out_off), atol=1e-6
+            np.asarray(out_base), np.asarray(out_off), atol=1e-4
         )
 
     def test_multiplier_linearity_single_layer(self):
@@ -352,3 +356,45 @@ class TestPhaseConvUpsample:
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(want), atol=2e-5
             )
+
+
+class TestFoldLora:
+    """fold_lora_params (the per-iteration inner-loop merge) must equal the
+    branch form through the real model, for both lierla (dense) and c3lier
+    (conv + dense), with non-zero lora_up."""
+
+    @pytest.mark.parametrize("network_type", ["lierla", "c3lier"])
+    def test_matches_branch_form(self, network_type):
+        import jax
+
+        from leco_tpu.lora import fold_lora_params
+
+        spec = LoRASpec(rank=2, alpha=1.0, network_type=network_type)
+        model, params, sample, ctx = init_tiny(spec)
+        base, lora = split_lora_params(params)
+        # non-trivial branch: randomize every lora_up
+        from flax.traverse_util import flatten_dict, unflatten_dict
+
+        flat = flatten_dict(lora)
+        keys = jax.random.split(jax.random.PRNGKey(3), len(flat))
+        flat = {
+            k: (
+                jax.random.normal(kk, v.shape, v.dtype) * 0.05
+                if k[-1] == "lora_up"
+                else v
+            )
+            for kk, (k, v) in zip(keys, sorted(flat.items()))
+        }
+        lora = unflatten_dict(flat)
+
+        sample = jax.random.normal(jax.random.PRNGKey(4), sample.shape)
+        branch = model.apply({"params": merge_params(base, lora)}, sample, 10, ctx)
+        folded_tree = fold_lora_params(base, lora, spec)
+        # folded tree has base structure only (no lora leaves)
+        assert not any(
+            k[-1].startswith("lora_") for k in flatten_dict(folded_tree)
+        )
+        folded = model.apply({"params": folded_tree}, sample, 10, ctx)
+        np.testing.assert_allclose(
+            np.asarray(folded), np.asarray(branch), atol=2e-4
+        )
