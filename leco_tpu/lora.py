@@ -275,11 +275,26 @@ class LoRAConv(nn.Module):
     param_dtype: Any = jnp.float32
 
     def _conv(self, x, kernel, strides=None):
+        # 1x1/stride-1/no-pad convs (proj_in/proj_out, conv_shortcut, the
+        # 1x1 lora_down convs) lower as plain GEMMs: XLA's conv path runs
+        # these at ~20-30% MFU on TPU while the identical reshaped matmul
+        # rides the standard GEMM emitter (measured: transformer/proj and
+        # resnet/shortcut at 29%/34% of their roofline — docs/DESIGN.md).
+        st = strides or self.strides
+        pad = self.padding
+        if (
+            kernel.shape[0] == 1
+            and kernel.shape[1] == 1
+            and tuple(st) == (1, 1)
+            and not isinstance(pad, str)
+            and tuple(map(tuple, pad)) == ((0, 0), (0, 0))
+        ):
+            return x @ kernel[0, 0]
         return lax.conv_general_dilated(
             x,
             kernel,
-            window_strides=strides or self.strides,
-            padding=self.padding if isinstance(self.padding, str) else list(self.padding),
+            window_strides=st,
+            padding=pad if isinstance(pad, str) else list(pad),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
 

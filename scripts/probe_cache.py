@@ -18,6 +18,8 @@ import subprocess
 import sys
 import time
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 CACHE_DIR = "/tmp/leco_cache_probe"
 
 

@@ -200,9 +200,10 @@ def main():
         }
         for name, ms in op_ms.items():
             path = meta.get(name)
-            measured[component_of(path) if path else "other"] = (
-                measured.get(component_of(path) if path else "other", 0.0) + ms
-            )
+            comp = component_of(path) if path else "other"
+            # attribute_fwd uses attn1(self)/attn2(cross); the sheet doesn't
+            comp = comp.replace("(self)", "").replace("(cross)", "")
+            measured[comp] = measured.get(comp, 0.0) + ms
 
     total_fl = sum(r[0] for r in sheet.rows.values())
     total_floor = sum(r[1] for r in sheet.rows.values())
@@ -225,6 +226,12 @@ def main():
             f"{name:24s} {fl/1e9:8.1f} {floor*1e3:9.3f} "
             f"{ms if ms is not None else float('nan'):8.2f} {frac:>13s}"
         )
+    extra = {k: v for k, v in measured.items() if k not in sheet.rows}
+    if extra:
+        print("\nmeasured-only buckets (not in the model):")
+        for k, v in sorted(extra.items(), key=lambda kv: -kv[1]):
+            if v > 0.02:
+                print(f"{v:8.3f} ms  {k}")
 
 
 if __name__ == "__main__":
