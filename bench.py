@@ -94,6 +94,7 @@ def main():
     # warmup / compile (one compilation serves every timesteps_to)
     lora, opt_state, loss, key = run_iter(lora, opt_state, key, 25)
     jax.block_until_ready(loss)
+    time_to_first_iter = time.perf_counter() - t0
     stage("compiled + warm (1 iter @ t_to=25)")
 
     # timed: the real t_to ~ U[1, 50) distribution (train_lora.py:154-156).
@@ -127,6 +128,10 @@ def main():
                 # Async-only timing misreports through remote-TPU tunnels and
                 # produced a bogus 65 it/s datapoint in round 1 — never again.
                 "sync": "per_iter",
+                # wall-clock from process start to the end of iteration 1
+                # (model build + compile or persistent-cache load) — the
+                # cold-start metric; cache state makes this cold vs warm
+                "time_to_first_iter_s": round(time_to_first_iter, 1),
             }
     )
     print(json.dumps(result))
