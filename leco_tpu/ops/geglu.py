@@ -33,14 +33,15 @@ _INV_SQRT2 = 2.0**-0.5
 
 def default_geglu_backend() -> str:
     """Backends:
-    - "split" (default): two half-GEMMs `value = x@W[:, :n]`, `gate =
-      x@W[:, n:]`, combined as `value * gelu(gate)`. The single-GEMM form
-      can't fuse its epilogue — value and gate land in different output
-      tiles — so the (M, 2n) projection round-trips HBM; the split form
-      lets XLA fuse gelu·mul into the gate GEMM with value as a
-      tile-aligned side input (~40% less FF HBM traffic). Same kernel
-      param, same columns, same reduction order.
-    - "xla": the literal single-GEMM reference form.
+    - "xla" (default): the literal single-GEMM reference form.
+    - "split": two half-GEMMs `value = x@W[:, :n]`, `gate = x@W[:, n:]`,
+      combined as `value * gelu(gate)` — in theory lets XLA fuse gelu·mul
+      into the gate GEMM instead of round-tripping the (M, 2n) projection
+      through HBM. Measured on chip: parity at best (1.95 vs 1.97 it/s on
+      the SD1.5 bench) — XLA's single-GEMM fusion was already fine. Note
+      the LoRA ride-along GEGLU path always uses the split structure (the
+      value-half GEMM carries the lora_down columns); THAT one is a
+      measured win in combination (see lora._lora_ride_along).
     - "fused": Pallas kernel — measured on chip as a net loss (the kernel
       itself is fine at ~1.4 ms/fwd but pulling the projection out of XLA's
       fusion graph costs ~+2.7 ms elsewhere; 20.7 -> 23.4 ms/fwd)."""
