@@ -141,6 +141,46 @@ def group_norm_silu_ref(x, scale, bias, num_groups, eps, with_silu=True):
     return y.astype(x.dtype)
 
 
+def group_norm_silu_mxu(x, scale, bias, num_groups, eps, with_silu=True):
+    """Bandwidth-lean GroupNorm in the NATURAL channels-last layout.
+
+    XLA's lowering of the fp32-reference form materializes an f32 upcast of
+    x (~16 bytes/element vs the 6-byte minimum; measured 28% of the BW
+    roofline, docs/DESIGN.md). Here the group sums ride the MXU instead:
+    s1 = x @ M and s2 = (x*x) @ M with a (C, G) one-hot membership matrix,
+    fp32 accumulation, NO reshape of x (the earlier (b,hw,G,cg) reshape
+    variant broke layout propagation and measured 12x slower end-to-end).
+    The normalize+affine+silu is then one fused elementwise pass.
+
+    Precision: sums accumulate in fp32; the x*x operand rounds each square
+    to bf16 (~2^-9 relative), which averages out over the ~160k elements
+    per group — and var uses the E[x^2]-mu^2 form in fp32. Both effects sit
+    below bf16 output resolution; tests pin the tolerance vs the fp32
+    reference."""
+    b, h, w, c = x.shape
+    cg = c // num_groups
+    f32 = jnp.float32
+    member = (
+        jnp.arange(c)[:, None] // cg == jnp.arange(num_groups)[None, :]
+    ).astype(x.dtype)
+    x2 = x.reshape(b, h * w, c)
+    s1 = jnp.einsum("bnc,cg->bg", x2, member, preferred_element_type=f32)
+    s2 = jnp.einsum(
+        "bnc,cg->bg", x2 * x2, member, preferred_element_type=f32
+    )
+    n = h * w * cg
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)  # (b, g)
+    expand = lambda v: jnp.repeat(v, cg, axis=-1)[:, None, None, :]  # (b,1,1,c)
+    eff_scale = scale.astype(f32)[None, None, None, :] * expand(inv)
+    eff_shift = bias.astype(f32)[None, None, None, :] - expand(mean) * eff_scale
+    y = x.astype(f32) * eff_scale + eff_shift
+    if with_silu:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
+
+
 def group_norm_silu_fast(x, scale, bias, num_groups, eps, with_silu=True):
     """Bandwidth-lean XLA variant: statistics via f32-ACCUMULATED reductions
     (no materialized f32 copy of the activation), elementwise normalize in
@@ -209,9 +249,13 @@ import flax.linen as nn
 # row-chunk loops underutilize the VPU vs XLA's wide fusions. Kept as an
 # opt-in (LECO_TPU_FUSED_GN=1) and as the base for future fusion work.
 _FUSED_GN_ENABLED = os.environ.get("LECO_TPU_FUSED_GN", "0") == "1"
-# measured 1.59 vs 1.62 it/s on the SD1.5 bench — XLA's fusion of the fp32
-# reference formulation is already optimal; keep opt-in for experiments
+# measured 1.59 vs 1.62 it/s on the SD1.5 bench in round 1 and a
+# pathological 0.144 it/s in the round-2 fusion context ((b,hw,G,cg)
+# reshapes break layout propagation) — permanently opt-in-only
 _FAST_GN_ENABLED = os.environ.get("LECO_TPU_FAST_GN", "0") == "1"
+# MXU-reduction GroupNorm (group sums via one-hot matmul, natural layout):
+# opt-in for A/B; LECO_TPU_GN=mxu
+_GN_BACKEND = os.environ.get("LECO_TPU_GN", "ref")
 
 
 class FusedGroupNorm(nn.Module):
@@ -240,6 +284,10 @@ class FusedGroupNorm(nn.Module):
             )
         if _FAST_GN_ENABLED and x.dtype == jnp.bfloat16:
             return group_norm_silu_fast(
+                x, scale, bias, self.num_groups, self.eps, self.with_silu
+            )
+        if _GN_BACKEND == "mxu" and x.dtype == jnp.bfloat16:
+            return group_norm_silu_mxu(
                 x, scale, bias, self.num_groups, self.eps, self.with_silu
             )
         return group_norm_silu_ref(

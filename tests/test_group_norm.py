@@ -100,3 +100,40 @@ class TestFastVariant:
             lambda x: jnp.sum(group_norm_silu_fast(x, scale, bias, 4, 1e-5) ** 2)
         )(x)
         assert np.isfinite(np.asarray(g)).all()
+
+
+class TestMXUGroupNorm:
+    """group_norm_silu_mxu: group sums via one-hot MXU matmul in the
+    natural layout — must match the fp32 reference to ~1 output ulp."""
+
+    @pytest.mark.parametrize("with_silu", [True, False])
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_matches_reference(self, dtype, with_silu):
+        from leco_tpu.ops.group_norm import (
+            group_norm_silu_mxu,
+            group_norm_silu_ref,
+        )
+
+        # offset mean + scale stress the E[x^2]-mu^2 form
+        x = (
+            jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 64)) * 3 + 1.5
+        ).astype(dtype)
+        sc = jax.random.normal(jax.random.PRNGKey(1), (64,)) * 0.5 + 1.0
+        bi = jax.random.normal(jax.random.PRNGKey(2), (64,)) * 0.2
+        got = group_norm_silu_mxu(x, sc, bi, 8, 1e-5, with_silu)
+        want = group_norm_silu_ref(x, sc, bi, 8, 1e-5, with_silu)
+        atol = 4e-2 if dtype == jnp.bfloat16 else 1e-5  # ~1 ulp at |y|~4
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32), atol=atol
+        )
+
+    def test_grads_flow(self):
+        from leco_tpu.ops.group_norm import group_norm_silu_mxu
+
+        x = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 32))
+        sc = jnp.ones((32,))
+        bi = jnp.zeros((32,))
+        g = jax.grad(
+            lambda x: jnp.sum(group_norm_silu_mxu(x, sc, bi, 4, 1e-5) ** 2)
+        )(x)
+        assert np.isfinite(np.asarray(g)).all()
