@@ -219,7 +219,9 @@ class LoRADense(nn.Module):
                         gate = gate + bias[n:].astype(kd)
                     value = value + xd @ up[:, :n].astype(kd)
                     gate = gate + xd @ up[:, n:].astype(kd)
-                    return value * nn.gelu(gate, approximate=False)
+                    from leco_tpu.ops.geglu import gelu_exact
+
+                    return value * gelu_exact(gate)
                 xd = (x @ down.astype(self.dtype)) * scale
                 up_c = up.astype(self.dtype)
             fn = {

@@ -54,8 +54,6 @@ def geglu_split(x, kernel, bias, xd=None, up=None):
     """Two half-GEMMs so the gelu*mul epilogue fuses (see
     default_geglu_backend). Columns and reduction order match the
     single-GEMM form exactly."""
-    import flax.linen as nn
-
     n = kernel.shape[1] // 2
     value = x @ kernel[:, :n].astype(x.dtype)
     gate = x @ kernel[:, n:].astype(x.dtype)
@@ -65,7 +63,7 @@ def geglu_split(x, kernel, bias, xd=None, up=None):
     if xd is not None:
         value = value + xd.astype(x.dtype) @ up[:, :n].astype(x.dtype)
         gate = gate + xd.astype(x.dtype) @ up[:, n:].astype(x.dtype)
-    return value * nn.gelu(gate, approximate=False)
+    return value * gelu_exact(gate)
 
 
 def _erf_poly(x):
@@ -126,6 +124,20 @@ def _pick(m: int, n: int, k: int, itemsize: int):
     return None
 
 
+def gelu_exact(g):
+    """Exact (erf) gelu. LECO_GELU=poly swaps XLA's erf for the A&S 7.1.26
+    polynomial (|err| <= 1.5e-7, far below bf16 resolution) — fewer VPU ops
+    per element if XLA's erf lowering is long. A/B knob."""
+    import os
+
+    import flax.linen as nn
+
+    if os.environ.get("LECO_GELU") == "poly":
+        gf = g.astype(jnp.float32)
+        return (0.5 * gf * (1.0 + _erf_poly(gf * _INV_SQRT2))).astype(g.dtype)
+    return nn.gelu(g, approximate=False)
+
+
 def geglu_reference(x, kernel, bias, xd=None, up=None):
     """XLA fallback; also the ground truth for the kernel tests."""
     proj = x @ kernel.astype(x.dtype)
@@ -134,9 +146,7 @@ def geglu_reference(x, kernel, bias, xd=None, up=None):
     if xd is not None:
         proj = proj + xd.astype(x.dtype) @ up.astype(x.dtype)
     value, gate = jnp.split(proj, 2, axis=-1)
-    import flax.linen as nn
-
-    return value * nn.gelu(gate, approximate=False)
+    return value * gelu_exact(gate)
 
 
 def _fwd_impl(x, kernel, bias, xd, up):
