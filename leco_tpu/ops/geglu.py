@@ -125,17 +125,19 @@ def _pick(m: int, n: int, k: int, itemsize: int):
 
 
 def gelu_exact(g):
-    """Exact (erf) gelu. LECO_GELU=poly swaps XLA's erf for the A&S 7.1.26
-    polynomial (|err| <= 1.5e-7, far below bf16 resolution) — fewer VPU ops
-    per element if XLA's erf lowering is long. A/B knob."""
+    """Exact (erf) gelu with the erf computed by the A&S 7.1.26 polynomial
+    (|err| <= 1.5e-7 — far below bf16 resolution and below the fp32 test
+    tolerances). XLA's own erf lowering is much longer on the VPU: swapping
+    it measured 1.97 -> 2.03 it/s on the SD1.5 bench. LECO_GELU=erf reverts
+    to jax.lax.erf."""
     import os
 
     import flax.linen as nn
 
-    if os.environ.get("LECO_GELU") == "poly":
-        gf = g.astype(jnp.float32)
-        return (0.5 * gf * (1.0 + _erf_poly(gf * _INV_SQRT2))).astype(g.dtype)
-    return nn.gelu(g, approximate=False)
+    if os.environ.get("LECO_GELU") == "erf":
+        return nn.gelu(g, approximate=False)
+    gf = g.astype(jnp.float32)
+    return (0.5 * gf * (1.0 + _erf_poly(gf * _INV_SQRT2))).astype(g.dtype)
 
 
 def geglu_reference(x, kernel, bias, xd=None, up=None):
