@@ -128,6 +128,12 @@ def main():
                 # Async-only timing misreports through remote-TPU tunnels and
                 # produced a bogus 65 it/s datapoint in round 1 — never again.
                 "sync": "per_iter",
+                # every LECO_* env knob active for this run — A/B entries in
+                # bench_history.jsonl are meaningless without them
+                "knobs": {
+                    k: v for k, v in sorted(os.environ.items())
+                    if k.startswith("LECO_")
+                },
                 # wall-clock from process start to the end of iteration 1
                 # (model build + compile or persistent-cache load) — the
                 # cold-start metric; cache state makes this cold vs warm
