@@ -181,6 +181,37 @@ def group_norm_silu_mxu(x, scale, bias, num_groups, eps, with_silu=True):
     return y.astype(x.dtype)
 
 
+def group_norm_silu_sum(x, scale, bias, num_groups, eps, with_silu=True):
+    """Bandwidth-lean GroupNorm via plain spatial reductions.
+
+    Stats in two steps that never disturb the (b,h,w,c) layout: (1) fp32-
+    accumulated sums of x and x*x over (h, w) -> (b, c) — XLA fuses both
+    into one read pass; (2) group-sum the TINY (b, c) arrays by a (b, G,
+    cg) reshape. The normalize+affine+silu is one fused elementwise pass
+    with (b, 1, 1, c) broadcasts. 6 bytes/element total vs ~16 for the
+    fp32-upcast reference lowering. The x*x operand rounds each square to
+    the input dtype (~2^-9 relative for bf16), averaging out over the
+    ~160k elements per group — below output resolution."""
+    b, h, w, c = x.shape
+    cg = c // num_groups
+    f32 = jnp.float32
+    s1c = jnp.sum(x, axis=(1, 2), dtype=f32)  # (b, c)
+    s2c = jnp.sum(x * x, axis=(1, 2), dtype=f32)
+    s1 = s1c.reshape(b, num_groups, cg).sum(-1)  # (b, G)
+    s2 = s2c.reshape(b, num_groups, cg).sum(-1)
+    n = h * w * cg
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    expand = lambda v: jnp.repeat(v, cg, axis=-1)[:, None, None, :]
+    eff_scale = scale.astype(f32)[None, None, None, :] * expand(inv)
+    eff_shift = bias.astype(f32)[None, None, None, :] - expand(mean) * eff_scale
+    y = x.astype(f32) * eff_scale + eff_shift
+    if with_silu:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
+
+
 def group_norm_silu_fast(x, scale, bias, num_groups, eps, with_silu=True):
     """Bandwidth-lean XLA variant: statistics via f32-ACCUMULATED reductions
     (no materialized f32 copy of the activation), elementwise normalize in
@@ -288,6 +319,10 @@ class FusedGroupNorm(nn.Module):
             )
         if _GN_BACKEND == "mxu" and x.dtype == jnp.bfloat16:
             return group_norm_silu_mxu(
+                x, scale, bias, self.num_groups, self.eps, self.with_silu
+            )
+        if _GN_BACKEND == "sum" and x.dtype == jnp.bfloat16:
+            return group_norm_silu_sum(
                 x, scale, bias, self.num_groups, self.eps, self.with_silu
             )
         return group_norm_silu_ref(

@@ -137,3 +137,27 @@ class TestMXUGroupNorm:
             lambda x: jnp.sum(group_norm_silu_mxu(x, sc, bi, 4, 1e-5) ** 2)
         )(x)
         assert np.isfinite(np.asarray(g)).all()
+
+
+class TestSumGroupNorm:
+    """group_norm_silu_sum: spatial fp32 reductions in the natural layout +
+    tiny (b, c) group fold — must match the fp32 reference to ~1 ulp."""
+
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_matches_reference(self, dtype):
+        from leco_tpu.ops.group_norm import (
+            group_norm_silu_ref,
+            group_norm_silu_sum,
+        )
+
+        x = (
+            jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 64)) * 3 + 1.5
+        ).astype(dtype)
+        sc = jax.random.normal(jax.random.PRNGKey(1), (64,)) * 0.5 + 1.0
+        bi = jax.random.normal(jax.random.PRNGKey(2), (64,)) * 0.2
+        got = group_norm_silu_sum(x, sc, bi, 8, 1e-5)
+        want = group_norm_silu_ref(x, sc, bi, 8, 1e-5)
+        atol = 4e-2 if dtype == jnp.bfloat16 else 1e-5
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32), atol=atol
+        )
