@@ -284,9 +284,13 @@ _FUSED_GN_ENABLED = os.environ.get("LECO_TPU_FUSED_GN", "0") == "1"
 # pathological 0.144 it/s in the round-2 fusion context ((b,hw,G,cg)
 # reshapes break layout propagation) — permanently opt-in-only
 _FAST_GN_ENABLED = os.environ.get("LECO_TPU_FAST_GN", "0") == "1"
-# MXU-reduction GroupNorm (group sums via one-hot matmul, natural layout):
-# opt-in for A/B; LECO_TPU_GN=mxu
-_GN_BACKEND = os.environ.get("LECO_TPU_GN", "ref")
+# GroupNorm backend (LECO_TPU_GN): "sum" (default for bf16) computes the
+# stats by fp32 spatial reductions in the natural layout — measured 2.03 ->
+# 2.08 it/s on the SD1.5 bench vs the fp32-upcast reference lowering
+# ("ref", which materializes an f32 copy of x). "mxu" (one-hot-matmul
+# stats) measured pathologically slow (0.055 it/s) — kept only as a
+# negative-result artifact. f32 inputs always use "ref".
+_GN_BACKEND = os.environ.get("LECO_TPU_GN", "sum")
 
 
 class FusedGroupNorm(nn.Module):
