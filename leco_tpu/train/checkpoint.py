@@ -54,7 +54,38 @@ def save_train_state(
     # not fit fixed-width array dtypes)
     with open(path + ".rng.json", "w") as f:
         json.dump(rng.bit_generator.state, f)
+    gc_snapshots(directory)
     return path
+
+
+def gc_snapshots(directory: str | os.PathLike, keep_last: Optional[int] = None):
+    """Delete all but the newest `keep_last` step_* snapshots (default 3,
+    LECO_KEEP_SNAPSHOTS overrides; 0 disables GC). Long runs otherwise
+    accumulate one full optimizer-state copy per save interval."""
+    import shutil
+
+    if keep_last is None:
+        keep_last = int(os.environ.get("LECO_KEEP_SNAPSHOTS", "3"))
+    if keep_last <= 0:
+        return
+    directory = os.path.abspath(os.fspath(directory))
+    if not os.path.isdir(directory):
+        return
+    steps = sorted(
+        s for s in (
+            int(n.split("_", 1)[1])
+            for n in os.listdir(directory)
+            if n.startswith("step_") and not n.endswith(".json")
+            and n.split("_", 1)[1].isdigit()
+        )
+    )
+    for s in steps[:-keep_last]:
+        path = os.path.join(directory, f"step_{s}")
+        shutil.rmtree(path, ignore_errors=True)
+        try:
+            os.remove(path + ".rng.json")
+        except OSError:
+            pass
 
 
 def latest_step(directory: str | os.PathLike) -> Optional[int]:

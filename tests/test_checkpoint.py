@@ -91,3 +91,50 @@ class TestStateRoundtrip:
         r2 = train(cfg(True), [PromptSettings(target="x", resolution=64)], bundle2)
         # resumed at iteration 3 -> exactly 1 more loss
         assert len(r2["losses"]) == 1
+
+
+class TestSnapshotGC:
+    def test_keeps_newest_n(self, tmp_path, monkeypatch):
+        from leco_tpu.train.checkpoint import gc_snapshots, latest_step
+
+        for s in (10, 20, 30, 40, 50):
+            d = tmp_path / f"step_{s}"
+            d.mkdir()
+            (tmp_path / f"step_{s}.rng.json").write_text("{}")
+        gc_snapshots(tmp_path, keep_last=2)
+        left = sorted(p.name for p in tmp_path.iterdir())
+        assert left == [
+            "step_40", "step_40.rng.json", "step_50", "step_50.rng.json"
+        ]
+        assert latest_step(tmp_path) == 50
+
+    def test_disabled_by_zero(self, tmp_path):
+        from leco_tpu.train.checkpoint import gc_snapshots
+
+        for s in (1, 2):
+            (tmp_path / f"step_{s}").mkdir()
+        gc_snapshots(tmp_path, keep_last=0)
+        assert len(list(tmp_path.iterdir())) == 2
+
+    def test_save_applies_gc(self, tmp_path, monkeypatch):
+        """save_train_state garbage-collects beyond LECO_KEEP_SNAPSHOTS."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from leco_tpu.train.checkpoint import save_train_state
+
+        monkeypatch.setenv("LECO_KEEP_SNAPSHOTS", "2")
+        for it in (1, 2, 3):
+            save_train_state(
+                tmp_path,
+                lora={"w": jnp.ones((2,))},
+                opt_state={"m": jnp.zeros((2,))},
+                iteration=it,
+                key=jax.random.PRNGKey(0),
+                rng=np.random.default_rng(0),
+            )
+        steps = sorted(
+            p.name for p in tmp_path.iterdir() if p.is_dir()
+        )
+        assert steps == ["step_2", "step_3"]
