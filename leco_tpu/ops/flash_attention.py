@@ -173,8 +173,9 @@ def _attn_bwd_dkv_kernel(
     k = k_ref[0]  # (Bk, D)
     v = v_ref[0]
     do = do_ref[0]  # (Nq, D)
-    lse = lse_ref[0].reshape(1, -1)  # (1, Nq)
-    delta = delta_ref[0].reshape(1, -1)
+    lse = lse_ref[0]  # (1, Nq) — fed as a full-lane row vector; a
+    delta = delta_ref[0]  # (Nq, 1)-shaped block would pad its lane dim
+    # 1 -> 128 in VMEM (4.7 MB at N=9216) and blow the scoped budget
     # qs carries the softmax scale for BOTH the logits and dK (dK = s·dS^T·Q)
     qs = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
     logits_t = jax.lax.dot_general(
@@ -219,8 +220,9 @@ def _bwd_dkv_vmem(bk, nq, d, itemsize):
     d_pad = -(-d // 128) * 128
     blocks = 2 * 4 * bk * d_pad * itemsize  # k, v, dk, dv
     qdo = 2 * 2 * nq * d_pad * itemsize
+    rows = 2 * 2 * nq * 4  # lse + delta as (1, Nq) full-lane rows
     nsq = _NSQ_BUFFERS * bk * nq * 4
-    return blocks + qdo + nsq + 2 * bk * d_pad * 4
+    return blocks + qdo + rows + nsq + 2 * bk * d_pad * 4
 
 
 def _pick_block(n, fits):
@@ -265,7 +267,9 @@ def _flash_bwd_3d(q3, k3, v3, lse, delta, g, scale: float):
 
     kblk = pl.BlockSpec((1, bk, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
     qd = pl.BlockSpec((1, nq, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
-    full_row = pl.BlockSpec((1, nq, 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
+    full_row = pl.BlockSpec((1, 1, nq), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
+    lse_row = lse.reshape(lse.shape[0], 1, -1)  # (BH, 1, Nq), pure reshape
+    delta_row = delta.reshape(delta.shape[0], 1, -1)
     dk, dv = pl.pallas_call(
         functools.partial(
             _attn_bwd_dkv_kernel,
@@ -285,7 +289,7 @@ def _flash_bwd_3d(q3, k3, v3, lse, delta, g, scale: float):
             bytes_accessed=(q3.size * 2 + k3.size * 2 + v3.size * 2) * it,
             transcendentals=bh * nq * nk_pad,
         ),
-    )(k3, v3, q3, g, lse, delta)
+    )(k3, v3, q3, g, lse_row, delta_row)
     if nk_pad != nk:
         dk = dk[:, :nk]
         dv = dv[:, :nk]
