@@ -130,10 +130,10 @@ class LoRADense(nn.Module):
 
     `geglu=True` turns the layer into the GEGLU projection: features must be
     2*inner, the output is `value * gelu_exact(gate)` of the two projection
-    halves, computed by a fused Pallas kernel on TPU (ops/geglu.py) so the
-    (M, 2N) intermediate never round-trips HBM. The param tree and the LoRA
-    composition point (pre-activation, like the reference's patched Linear)
-    are unchanged."""
+    halves (ops/geglu.py: XLA single-GEMM form by default, with the
+    polynomial-erf exact gelu; split/fused backends via LECO_GEGLU). The
+    param tree and the LoRA composition point (pre-activation, like the
+    reference's patched Linear) are unchanged."""
 
     features: int
     use_bias: bool = True
