@@ -54,14 +54,23 @@ def save_train_state(
     # not fit fixed-width array dtypes)
     with open(path + ".rng.json", "w") as f:
         json.dump(rng.bit_generator.state, f)
-    gc_snapshots(directory)
+    gc_snapshots(directory, protect=iteration)
     return path
 
 
-def gc_snapshots(directory: str | os.PathLike, keep_last: Optional[int] = None):
+def gc_snapshots(
+    directory: str | os.PathLike,
+    keep_last: Optional[int] = None,
+    protect: Optional[int] = None,
+):
     """Delete all but the newest `keep_last` step_* snapshots (default 3,
     LECO_KEEP_SNAPSHOTS overrides; 0 disables GC). Long runs otherwise
-    accumulate one full optimizer-state copy per save interval."""
+    accumulate one full optimizer-state copy per save interval.
+
+    `protect` names a step that is never deleted — save_train_state passes
+    the step it just wrote, so restarting a run with a reset iteration
+    counter into a directory holding older higher-numbered snapshots cannot
+    GC the snapshot that was just written."""
     import shutil
 
     if keep_last is None:
@@ -80,6 +89,8 @@ def gc_snapshots(directory: str | os.PathLike, keep_last: Optional[int] = None):
         )
     )
     for s in steps[:-keep_last]:
+        if protect is not None and s == protect:
+            continue
         path = os.path.join(directory, f"step_{s}")
         shutil.rmtree(path, ignore_errors=True)
         try:

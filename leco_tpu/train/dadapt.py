@@ -9,7 +9,8 @@ jits into the train step like every other optimizer here.
 
 Per step, with dlr = d * lr(t), sqb2 = sqrt(b2):
 
-    u      = sign(b1 * m + (1 - b1) * g)            (the Lion update)
+    u      = sign(b1 * m + (1 - b1) * dlr * g)      (the Lion update; both
+                                                     terms on the dlr scale)
     p     -= dlr * u  (+ decoupled weight decay dlr * wd * p)
     m      = b2 * m + (1 - b2) * dlr * g            (lr-scaled momentum)
     num    = sqb2 * num + (1 - sqb2) * dlr * <u, s> (s from the PREVIOUS step)
@@ -84,8 +85,15 @@ def dadapt_lion(
         lr = jnp.asarray(lr, jnp.float32)
         dlr = state.d * lr
 
+        # exp_avg is dlr-scaled (see momentum update below), so the fresh
+        # gradient must enter the blend on the same dlr scale — matching
+        # dadaptation.DAdaptLion's `exp_avg*b1 + grad*(1-b1)*dlr`. Without
+        # the dlr factor the g term dominates by ~1/dlr while d is small
+        # and the update degenerates to plain sign(g).
         u = jax.tree.map(
-            lambda m, g: jnp.sign(b1 * m + (1.0 - b1) * g.astype(jnp.float32)),
+            lambda m, g: jnp.sign(
+                b1 * m + (1.0 - b1) * dlr * g.astype(jnp.float32)
+            ),
             state.exp_avg,
             grads,
         )

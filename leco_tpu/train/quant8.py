@@ -182,13 +182,17 @@ def adam8bit(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    weight_decay: float = 0.0,
     block_size: int = 2048,
 ) -> optax.GradientTransformation:
-    """bnb.optim.Adam8bit equivalent (no weight decay, torch Adam defaults)."""
-    return optax.chain(
-        scale_by_adam8bit(b1, b2, eps, block_size),
-        optax.scale_by_learning_rate(learning_rate),
-    )
+    """bnb.optim.Adam8bit equivalent (torch Adam defaults; bnb accepts
+    weight_decay and applies it decoupled — reference train_util.py:346-354
+    forwards optimizer_args, so `weight_decay=...` must work here too)."""
+    parts = [scale_by_adam8bit(b1, b2, eps, block_size)]
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(optax.scale_by_learning_rate(learning_rate))
+    return optax.chain(*parts)
 
 
 def lion8bit(

@@ -108,6 +108,31 @@ class TestSnapshotGC:
         ]
         assert latest_step(tmp_path) == 50
 
+    def test_protect_survives_reset_counter(self, tmp_path, monkeypatch):
+        """Restarting with a reset iteration counter into a directory that
+        holds older higher-numbered snapshots must not GC the snapshot that
+        was just written (advisor round-2 finding)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from leco_tpu.train.checkpoint import save_train_state
+
+        monkeypatch.setenv("LECO_KEEP_SNAPSHOTS", "2")
+        for s in (100, 200, 300):
+            (tmp_path / f"step_{s}").mkdir()
+            (tmp_path / f"step_{s}.rng.json").write_text("{}")
+        save_train_state(
+            tmp_path,
+            lora={"w": jnp.ones((2,))},
+            opt_state={"m": jnp.zeros((2,))},
+            iteration=5,
+            key=jax.random.PRNGKey(0),
+            rng=np.random.default_rng(0),
+        )
+        left = sorted(p.name for p in tmp_path.iterdir() if p.is_dir())
+        assert "step_5" in left
+
     def test_disabled_by_zero(self, tmp_path):
         from leco_tpu.train.checkpoint import gc_snapshots
 
