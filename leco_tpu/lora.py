@@ -180,7 +180,8 @@ class LoRADense(nn.Module):
         # padding (e.g. 320 -> 384) absorbs the +r columns for free, and x is
         # read from HBM once instead of twice. The concat itself is loop-
         # invariant, so XLA hoists it out of the inner denoise fori_loop.
-        # Bitwise-identical math (same two GEMMs, same dtypes).
+        # Identical math up to float reassociation (~1e-4 in bf16): the
+        # wider concat GEMM may retile/reassociate the accumulation.
         ride = lora_active and _lora_ride_along()
         xd = None
         if ride:
@@ -351,7 +352,7 @@ class LoRAConv(nn.Module):
         return z.reshape(bsz, hh * 2, ww * 2, cc)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, affine=None):
         spec = self.lora_spec
         lora_active = (
             spec is not None
@@ -378,6 +379,31 @@ class LoRAConv(nn.Module):
             self.param_dtype,
         )
         from leco_tpu.ops.conv import conv3x3, default_conv_backend
+
+        if affine is not None:
+            # fused-resnet path: `affine` is the (a, s) per-(batch, channel)
+            # equivalent of the producing GroupNorm (+ folded temb); this
+            # conv owns the silu epilogue. The Pallas kernel handles the hot
+            # 3x3 shapes; LoRA'd convs (c3lier) and unsupported shapes fall
+            # back to an XLA epilogue + the normal conv path below, which
+            # is the identical math on the materialized activation.
+            from leco_tpu.ops import gn_conv
+
+            a, s = affine
+            if (
+                not lora_active
+                and self._is_hot_3x3(in_features)
+                and gn_conv.supports(x.shape, self.features, x.dtype)
+            ):
+                bias = self.param(
+                    "bias", nn.initializers.zeros, (self.features,),
+                    self.param_dtype,
+                )
+                return gn_conv.affine_silu_conv(
+                    x, a, s, kernel.astype(self.dtype),
+                    bias.astype(jnp.float32),
+                )
+            x = gn_conv.apply_affine_silu(x, a, s)
 
         if phase_up:
             y = self._phase_conv_up2x(x, kernel.astype(self.dtype))
@@ -453,7 +479,12 @@ def fold_lora_params(base, lora, spec: LoRASpec) -> dict:
     conv(x, down) @1x1 up == conv(x, einsum('hwir,ro->hwio', down, up))."""
     flat = dict(flatten_dict(base))
     lflat = flatten_dict(lora)
-    for path in {k[:-1] for k in lflat}:
+    # sorted: a raw set comprehension iterates in PYTHONHASHSEED-dependent
+    # order, which reorders the fold ops in the traced step, perturbs the
+    # serialized HLO, and made the persistent compilation cache MISS for
+    # every new process (the round-2 "714 s warm start" mystery — each run
+    # silently recompiled the whole step for ~7-13 min)
+    for path in sorted({k[:-1] for k in lflat}):
         down = lflat[path + ("lora_down",)]
         up = lflat[path + ("lora_up",)]
         kkey = path + ("kernel",)
