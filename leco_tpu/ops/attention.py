@@ -49,7 +49,9 @@ def multi_head_attention(
       k, v: (B, Nk, C) keys/values (Nk = Nq for self-attn, 77 for cross).
       num_heads: head count; scale = head_dim ** -0.5.
       upcast: compute the softmax in float32 (SD2.1 `upcast_attention`).
-      backend: "xla" or "flash".
+      backend: "xla", "flash", or "flash_sharded" (the Pallas kernel wrapped
+        in custom_partitioning so GSPMD sequence/head sharding keeps it —
+        used by the sp/tp multi-chip paths instead of downgrading to XLA).
 
     Returns:
       (B, Nq, C)
@@ -57,7 +59,7 @@ def multi_head_attention(
     head_dim = q.shape[-1] // num_heads
     scale = head_dim**-0.5
 
-    if backend == "flash":
+    if backend in ("flash", "flash_sharded"):
         from leco_tpu.ops import flash_attention as fa
 
         # the packed-layout kernel (flash_attention_packed) avoids the HBM
@@ -72,7 +74,9 @@ def multi_head_attention(
             qh = rearrange(q, "b n (h d) -> b n h d", h=num_heads)
             kh = rearrange(k, "b n (h d) -> b n h d", h=num_heads)
             vh = rearrange(v, "b n (h d) -> b n h d", h=num_heads)
-            out = fa.flash_attention(qh, kh, vh, scale=scale)
+            out = fa.flash_attention(
+                qh, kh, vh, scale=scale, sharded=(backend == "flash_sharded")
+            )
             return rearrange(out, "b n h d -> b n (h d)")
 
     qh = rearrange(q, "b n (h d) -> b n h d", h=num_heads)

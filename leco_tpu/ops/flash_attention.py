@@ -30,12 +30,20 @@ import jax.numpy as jnp
 from einops import rearrange
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 import os
 
 _MAX_BQ = int(os.environ.get("LECO_FLASH_BQ", "512"))
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the 16 MB scoped limit
+
+
+def _interpret() -> bool:
+    """Interpret-mode escape hatch so the CPU test mesh can EXECUTE these
+    kernels (tests/dryrun; Mosaic custom calls only run on real TPUs)."""
+    return os.environ.get("LECO_FLASH_INTERPRET") == "1"
 
 
 def _kernel_vmem_bytes(bq: int, nk_pad: int, d: int, itemsize: int) -> int:
@@ -88,24 +96,19 @@ def _attn_kernel(
     lse_ref[0] = m + jnp.log(denom)
 
 
-def _flash_fwd_3d(q3, k3, v3, scale: float):
-    """q3: (BH, Nq, D); k3/v3: (BH, Nk, D). Nk is padded to a multiple of
-    128 with masked columns (cross-attention has Nk == 77). Returns
-    (out, lse) with lse: (BH, Nq, 1) fp32 = logsumexp of the scaled logits."""
+def _fwd_call(q3, k3, v3, scale: float, kv_len: int):
+    """The raw forward pallas_call. k3/v3 arrive already padded to a
+    multiple of 128 rows. Shapes may be the PER-SHARD local shapes when
+    invoked from the custom_partitioning lower_fn — block sizes are picked
+    from whatever shapes this function sees."""
     bh, nq, d = q3.shape
-    nk = k3.shape[1]
-    nk_pad = -(-nk // 128) * 128
+    nk_pad = k3.shape[1]
     bq = _pick_q_block(nq, nk_pad, d, q3.dtype.itemsize)
-    assert bq, f"unsupported attention shape Nq={nq} Nk={nk} D={d}"
-
-    if nk_pad != nk:
-        pad = [(0, 0), (0, nk_pad - nk), (0, 0)]
-        k3 = jnp.pad(k3, pad)
-        v3 = jnp.pad(v3, pad)
+    assert bq, f"unsupported attention shape Nq={nq} Nk_pad={nk_pad} D={d}"
 
     grid = (bh, nq // bq)
     return pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, kv_len=nk),
+        functools.partial(_attn_kernel, scale=scale, kv_len=kv_len),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
@@ -125,7 +128,69 @@ def _flash_fwd_3d(q3, k3, v3, scale: float):
             bytes_accessed=(q3.size + k3.size + v3.size) * q3.dtype.itemsize * 2,
             transcendentals=bh * nq * nk_pad,
         ),
+        interpret=_interpret(),
     )(q3, k3, v3)
+
+
+# ---------------------------------------------------------------------------
+# GSPMD-partitionable wrappers (round-2 verdict item 4: the sp/tp sharded
+# step used to DROP this kernel because Pallas custom calls are opaque to
+# the partitioner). custom_partitioning teaches GSPMD the sequence-parallel
+# rule instead: Q-side operands stay sharded over (batch*heads, seq); K/V
+# are gathered over the sequence axis (the standard sequence-parallel
+# attention exchange — each query shard attends over the full keys). The
+# all-gathers ride ICI; the kernel itself runs unchanged on local shapes.
+# ---------------------------------------------------------------------------
+
+
+def _dims01(arg_info):
+    spec = arg_info.sharding.spec if arg_info.sharding is not None else P()
+    d0 = spec[0] if len(spec) > 0 else None
+    d1 = spec[1] if len(spec) > 1 else None
+    return d0, d1
+
+
+_fwd_call_cp = custom_partitioning(_fwd_call, static_argnums=(3, 4))
+
+
+def _fwd_infer(scale, kv_len, mesh, arg_infos, result_infos):
+    d0, d1 = _dims01(arg_infos[0])
+    s = NamedSharding(mesh, P(d0, d1, None))
+    return (s, s)
+
+
+def _fwd_partition(scale, kv_len, mesh, arg_infos, result_infos):
+    d0, d1 = _dims01(arg_infos[0])
+    q_sh = NamedSharding(mesh, P(d0, d1, None))
+    kv_sh = NamedSharding(mesh, P(d0, None, None))  # gather K/V over seq
+
+    def lower_fn(q3, k3, v3):
+        return _fwd_call(q3, k3, v3, scale, kv_len)
+
+    return mesh, lower_fn, (q_sh, q_sh), (q_sh, kv_sh, kv_sh)
+
+
+_fwd_call_cp.def_partition(
+    infer_sharding_from_operands=_fwd_infer,
+    partition=_fwd_partition,
+    # Shardy factor rule: batch*heads factor shared everywhere; q-sequence
+    # factor links q3 to both outputs; k-sequence factor links k3/v3
+    sharding_rule="b q d, b k d, b k d -> b q d, b q e",
+)
+
+
+def _flash_fwd_3d(q3, k3, v3, scale: float, sharded: bool = False):
+    """q3: (BH, Nq, D); k3/v3: (BH, Nk, D). Nk is padded to a multiple of
+    128 with masked columns (cross-attention has Nk == 77). Returns
+    (out, lse) with lse: (BH, Nq, 1) fp32 = logsumexp of the scaled logits."""
+    nk = k3.shape[1]
+    nk_pad = -(-nk // 128) * 128
+    if nk_pad != nk:
+        pad = [(0, 0), (0, nk_pad - nk), (0, 0)]
+        k3 = jnp.pad(k3, pad)
+        v3 = jnp.pad(v3, pad)
+    call = _fwd_call_cp if sharded else _fwd_call
+    return call(q3, k3, v3, scale, nk)
 
 
 # ---------------------------------------------------------------------------
@@ -234,26 +299,18 @@ def _pick_block(n, fits):
     return 0
 
 
-def _flash_bwd_3d(q3, k3, v3, lse, delta, g, scale: float):
+def _dq_call(q3, k3, v3, g, lse, delta, scale: float, kv_len: int):
+    """dQ pallas_call on (possibly per-shard local) shapes. k3/v3 padded."""
     bh, nq, d = q3.shape
-    nk = k3.shape[1]
-    nk_pad = -(-nk // 128) * 128
+    nk_pad = k3.shape[1]
     it = q3.dtype.itemsize
     bq = _pick_block(nq, lambda b: _bwd_dq_vmem(b, nk_pad, d, it) <= _VMEM_BUDGET)
-    bk = _pick_block(nk_pad, lambda b: _bwd_dkv_vmem(b, nq, d, it) <= _VMEM_BUDGET)
-    if not (bq and bk):
-        return None  # caller falls back to the XLA recompute
-
-    if nk_pad != nk:
-        pad = [(0, 0), (0, nk_pad - nk), (0, 0)]
-        k3 = jnp.pad(k3, pad)
-        v3 = jnp.pad(v3, pad)
-
+    assert bq, f"dq block pick failed Nq={nq} Nk_pad={nk_pad} D={d}"
     kd = pl.BlockSpec((1, nk_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
     qblk = pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
     row = pl.BlockSpec((1, bq, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
-    dq = pl.pallas_call(
-        functools.partial(_attn_bwd_dq_kernel, scale=scale, kv_len=nk),
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_dq_kernel, scale=scale, kv_len=kv_len),
         grid=(bh, nq // bq),
         in_specs=[qblk, kd, kd, qblk, row, row],
         out_specs=qblk,
@@ -263,19 +320,28 @@ def _flash_bwd_3d(q3, k3, v3, lse, delta, g, scale: float):
             bytes_accessed=(q3.size * 3 + k3.size + v3.size) * it,
             transcendentals=bh * nq * nk_pad,
         ),
+        interpret=_interpret(),
     )(q3, k3, v3, g, lse, delta)
 
+
+def _dkv_call(k3, v3, q3, g, lse_row, delta_row, scale: float, kv_len):
+    """dK/dV pallas_call on (possibly per-shard local) shapes.
+
+    kv_len is None for unpadded (self-attention) shapes; when set, the
+    kernel masks padded key rows by LOCAL row index — only valid when the
+    key dim is unsharded (the partition rule below replicates padded K/V,
+    so local == global there)."""
+    bh, nk_pad, d = k3.shape
+    nq = q3.shape[1]
+    it = q3.dtype.itemsize
+    bk = _pick_block(nk_pad, lambda b: _bwd_dkv_vmem(b, nq, d, it) <= _VMEM_BUDGET)
+    assert bk, f"dkv block pick failed Nq={nq} Nk_pad={nk_pad} D={d}"
     kblk = pl.BlockSpec((1, bk, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
     qd = pl.BlockSpec((1, nq, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
     full_row = pl.BlockSpec((1, 1, nq), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
-    lse_row = lse.reshape(lse.shape[0], 1, -1)  # (BH, 1, Nq), pure reshape
-    delta_row = delta.reshape(delta.shape[0], 1, -1)
-    dk, dv = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(
-            _attn_bwd_dkv_kernel,
-            scale=scale,
-            bk=bk,
-            kv_len=(nk if nk_pad != nk else None),
+            _attn_bwd_dkv_kernel, scale=scale, bk=bk, kv_len=kv_len
         ),
         grid=(bh, nk_pad // bk),
         in_specs=[kblk, kblk, qd, qd, full_row, full_row],
@@ -289,31 +355,118 @@ def _flash_bwd_3d(q3, k3, v3, lse, delta, g, scale: float):
             bytes_accessed=(q3.size * 2 + k3.size * 2 + v3.size * 2) * it,
             transcendentals=bh * nq * nk_pad,
         ),
+        interpret=_interpret(),
     )(k3, v3, q3, g, lse_row, delta_row)
+
+
+_dq_call_cp = custom_partitioning(_dq_call, static_argnums=(6, 7))
+
+
+def _dq_infer(scale, kv_len, mesh, arg_infos, result_infos):
+    d0, d1 = _dims01(arg_infos[0])
+    return NamedSharding(mesh, P(d0, d1, None))
+
+
+def _dq_partition(scale, kv_len, mesh, arg_infos, result_infos):
+    d0, d1 = _dims01(arg_infos[0])
+    q_sh = NamedSharding(mesh, P(d0, d1, None))
+    kv_sh = NamedSharding(mesh, P(d0, None, None))
+
+    def lower_fn(q3, k3, v3, g, lse, delta):
+        return _dq_call(q3, k3, v3, g, lse, delta, scale, kv_len)
+
+    return mesh, lower_fn, q_sh, (q_sh, kv_sh, kv_sh, q_sh, q_sh, q_sh)
+
+
+_dq_call_cp.def_partition(
+    infer_sharding_from_operands=_dq_infer,
+    partition=_dq_partition,
+    sharding_rule="b q d, b k d, b k d, b q d, b q e, b q e -> b q d",
+)
+
+
+_dkv_call_cp = custom_partitioning(_dkv_call, static_argnums=(6, 7))
+
+
+def _dkv_infer(scale, kv_len, mesh, arg_infos, result_infos):
+    d0, d1 = _dims01(arg_infos[0])
+    if kv_len is not None:
+        d1 = None  # padded K/V must stay seq-replicated (local row masks)
+    s = NamedSharding(mesh, P(d0, d1, None))
+    return (s, s)
+
+
+def _dkv_partition(scale, kv_len, mesh, arg_infos, result_infos):
+    d0, d1 = _dims01(arg_infos[0])
+    if kv_len is not None:
+        d1 = None
+    k_sh = NamedSharding(mesh, P(d0, d1, None))
+    q_sh = NamedSharding(mesh, P(d0, None, None))  # gather Q/dO over seq
+    row_sh = NamedSharding(mesh, P(d0, None, None))
+
+    def lower_fn(k3, v3, q3, g, lse_row, delta_row):
+        return _dkv_call(k3, v3, q3, g, lse_row, delta_row, scale, kv_len)
+
+    return mesh, lower_fn, (k_sh, k_sh), (k_sh, k_sh, q_sh, q_sh, row_sh, row_sh)
+
+
+_dkv_call_cp.def_partition(
+    infer_sharding_from_operands=_dkv_infer,
+    partition=_dkv_partition,
+    sharding_rule="b k d, b k d, b q d, b q d, b e q, b e q -> b k d, b k d",
+)
+
+
+def _flash_bwd_3d(q3, k3, v3, lse, delta, g, scale: float, sharded: bool = False):
+    bh, nq, d = q3.shape
+    nk = k3.shape[1]
+    nk_pad = -(-nk // 128) * 128
+    it = q3.dtype.itemsize
+    # feasibility on GLOBAL shapes (conservative: local shards are smaller)
+    bq = _pick_block(nq, lambda b: _bwd_dq_vmem(b, nk_pad, d, it) <= _VMEM_BUDGET)
+    bk = _pick_block(nk_pad, lambda b: _bwd_dkv_vmem(b, nq, d, it) <= _VMEM_BUDGET)
+    if not (bq and bk):
+        return None  # caller falls back to the XLA recompute
+
+    if nk_pad != nk:
+        pad = [(0, 0), (0, nk_pad - nk), (0, 0)]
+        k3 = jnp.pad(k3, pad)
+        v3 = jnp.pad(v3, pad)
+
+    dq_fn = _dq_call_cp if sharded else _dq_call
+    dq = dq_fn(q3, k3, v3, g, lse, delta, scale, nk)
+
+    lse_row = lse.reshape(lse.shape[0], 1, -1)  # (BH, 1, Nq), pure reshape
+    delta_row = delta.reshape(delta.shape[0], 1, -1)
+    dkv_fn = _dkv_call_cp if sharded else _dkv_call
+    dk, dv = dkv_fn(
+        k3, v3, q3, g, lse_row, delta_row, scale,
+        (nk if nk_pad != nk else None),
+    )
     if nk_pad != nk:
         dk = dk[:, :nk]
         dv = dv[:, :nk]
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _flash_3d(q3, k3, v3, scale):
-    return _flash_fwd_3d(q3, k3, v3, scale)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_3d(q3, k3, v3, scale, sharded=False):
+    return _flash_fwd_3d(q3, k3, v3, scale, sharded)[0]
 
 
-def _flash_3d_fwd(q3, k3, v3, scale):
-    out, lse = _flash_fwd_3d(q3, k3, v3, scale)
+def _flash_3d_fwd(q3, k3, v3, scale, sharded):
+    out, lse = _flash_fwd_3d(q3, k3, v3, scale, sharded)
     return out, (q3, k3, v3, out, lse)
 
 
-def _flash_3d_bwd(scale, residuals, g):
+def _flash_3d_bwd(scale, sharded, residuals, g):
     q3, k3, v3, out, lse = residuals
     if os.environ.get("LECO_FLASH_BWD", "pallas") == "pallas":
         delta = jnp.sum(
             g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1,
             keepdims=True,
         )
-        grads = _flash_bwd_3d(q3, k3, v3, lse, delta, g, scale)
+        grads = _flash_bwd_3d(q3, k3, v3, lse, delta, g, scale, sharded)
         if grads is not None:
             return grads
     # XLA recompute fallback (materializes N x N — fine at small shapes)
@@ -336,14 +489,23 @@ _flash_3d.defvjp(_flash_3d_fwd, _flash_3d_bwd)
 
 
 def flash_attention(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    sharded: bool = False,
 ) -> jnp.ndarray:
-    """q: (B, Nq, H, D); k, v: (B, Nk, H, D) -> (B, Nq, H, D)."""
+    """q: (B, Nq, H, D); k, v: (B, Nk, H, D) -> (B, Nq, H, D).
+
+    `sharded=True` routes through the custom_partitioning wrappers so a
+    GSPMD-sharded step (sp over the sequence, tp over heads) keeps this
+    kernel instead of replicating it — the single-chip path stays on the
+    plain calls, whose lowering is byte-identical to round 2's."""
     b, nq, h, d = q.shape
     q3 = rearrange(q, "b n h d -> (b h) n d")
     k3 = rearrange(k, "b n h d -> (b h) n d")
     v3 = rearrange(v, "b n h d -> (b h) n d")
-    o3 = _flash_3d(q3, k3, v3, scale)
+    o3 = _flash_3d(q3, k3, v3, scale, sharded)
     return rearrange(o3, "(b h) n d -> b n h d", b=b, h=h)
 
 
