@@ -1,0 +1,259 @@
+"""Synthetic-concept erasure acceptance test — direction-of-effect evidence.
+
+The reference's entire acceptance evidence is trained LoRAs plus
+before/after image grids at AddNet weight -1/0/+1 (reference
+README.md:85-227, train.ipynb cells 11-12). No real SD checkpoint exists in
+this zero-egress environment, so this test builds the offline equivalent:
+
+  1. overfit the tiny test UNet until its output measurably depends on one
+     conditioning embedding ("the concept"): concept conditioning ->
+     a fixed signature pattern P, neutral conditioning -> 0;
+  2. run the REAL `train()` ESD erase recipe against it (same code path as
+     the CLI, reference train_lora.py:34-343);
+  3. A/B the resulting LoRA at multiplier -1/0/+1 (the notebook protocol)
+     and assert the concept signature moves the right way:
+     erase (+1) suppresses the P-correlation, enhance (-1) does not.
+
+This is the first test that fails if ESD stops *erasing* — everything else
+only checks that losses are finite and decreasing-ish.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from leco_tpu.config import (
+    LoggingConfig,
+    NetworkConfig,
+    OtherConfig,
+    PretrainedModelConfig,
+    RootConfig,
+    SaveConfig,
+    TrainConfig,
+)
+from leco_tpu.lora import merge_params, scale_lora_tree
+from leco_tpu.prompts import PromptSettings
+from leco_tpu.testing import make_random_bundle
+from leco_tpu.train.trainer import train
+
+CONCEPT = "van gogh"
+NEUTRAL = ""
+
+
+def _signatures(shape=(1, 8, 8, 4)):
+    """(concept signature, neutral signature): fixed, unit-norm, orthogonal
+    — the neutral conditioning is trained toward its OWN pattern rather
+    than zero, which separates the two conditionings much faster on the
+    tiny UNet (0.94 vs 0.37 concept correlation at equal step budgets)."""
+    c = jax.random.normal(jax.random.PRNGKey(1234), shape, jnp.float32)
+    c = c / jnp.linalg.norm(c)
+    n = jax.random.normal(jax.random.PRNGKey(4321), shape, jnp.float32)
+    n = n - jnp.sum(n * c) * c
+    n = n / jnp.linalg.norm(n)
+    return c, n
+
+
+def _cos(a, b):
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+
+def _overfit_concept(bundle, ctx_c, ctx_n, sig_c, sig_n, steps=800, lr=3e-3):
+    """Train the BASE params so output(ctx_c) ~ sig_c and output(ctx_n) ~
+    sig_n, for any input latents/timestep — making 'concept presence'
+    measurable as correlation with sig_c."""
+    unet = bundle.unet
+    lora0 = scale_lora_tree(bundle.lora_params, 0.0)  # exact no-op branch
+
+    opt = optax.adam(lr)
+
+    def loss_fn(base, x, t):
+        params = merge_params(base, lora0)
+        bsz = x.shape[0]
+        out_c = unet.apply(
+            {"params": params}, x, t, jnp.tile(ctx_c, (bsz, 1, 1)), None
+        )
+        out_n = unet.apply(
+            {"params": params}, x, t, jnp.tile(ctx_n, (bsz, 1, 1)), None
+        )
+        return jnp.mean((out_c - sig_c) ** 2) + jnp.mean((out_n - sig_n) ** 2)
+
+    @jax.jit
+    def step(base, opt_state, key):
+        kx, kt = jax.random.split(key)
+        x = jax.random.normal(kx, (4, 8, 8, 4), jnp.float32)
+        t = jax.random.uniform(kt, (4,), minval=0.0, maxval=999.0)
+        loss, grads = jax.value_and_grad(loss_fn)(base, x, t)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(base, updates), opt_state, loss
+
+    base = bundle.base_params
+    opt_state = opt.init(base)
+    key = jax.random.PRNGKey(7)
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        base, opt_state, loss = step(base, opt_state, sub)
+    return base, float(loss)
+
+
+def _concept_similarity(bundle, lora, multiplier, ctx, sig, n=4):
+    """Mean cosine of the (possibly LoRA'd) UNet's ctx-conditioned output
+    with the concept signature, over fixed random inputs."""
+    params = merge_params(bundle.base_params, scale_lora_tree(lora, multiplier))
+    sims = []
+    for i in range(n):
+        kx, kt = jax.random.split(jax.random.PRNGKey(100 + i))
+        x = jax.random.normal(kx, (1, 8, 8, 4), jnp.float32)
+        t = jax.random.uniform(kt, (), minval=0.0, maxval=999.0)
+        out = bundle.unet.apply({"params": params}, x, t, ctx, None)
+        sims.append(_cos(out, sig))
+    return float(np.mean(sims))
+
+
+@pytest.fixture(scope="module")
+def erasure_run(tmp_path_factory):
+    """Overfit -> erase-train once; several tests share the result."""
+    tmp_path = tmp_path_factory.mktemp("erase")
+    bundle = make_random_bundle()
+    sig, sig_n = _signatures()
+    ctx_c = bundle.encode_fn(CONCEPT)
+    ctx_n = bundle.encode_fn(NEUTRAL)
+
+    base, overfit_loss = _overfit_concept(bundle, ctx_c, ctx_n, sig, sig_n)
+    bundle = dataclasses.replace(bundle, base_params=base)
+    # train() frees bundle.encode_fn after caching (reference semantics,
+    # train_lora.py:134-137) — keep a reference for post-train evaluation
+    encode_fn = bundle.encode_fn
+
+    config = RootConfig(
+        prompts_file="unused.yaml",
+        pretrained_model=PretrainedModelConfig(name_or_path="random://tiny"),
+        network=NetworkConfig(rank=4, alpha=1.0),
+        train=TrainConfig(
+            iterations=150,
+            max_denoising_steps=3,
+            lr=5e-3,
+            seed=0,
+            precision="float32",
+        ),
+        save=SaveConfig(name="erase", path=str(tmp_path), per_steps=1000),
+        logging=LoggingConfig(),
+        other=OtherConfig(),
+    )
+    prompts = [
+        PromptSettings(
+            target=CONCEPT,
+            unconditional=NEUTRAL,
+            action="erase",
+            guidance_scale=1.0,
+            resolution=64,
+            batch_size=1,
+        )
+    ]
+    result = train(config, prompts, bundle)
+    return dict(
+        bundle=bundle,
+        encode_fn=encode_fn,
+        sig=sig,
+        ctx_c=ctx_c,
+        ctx_n=ctx_n,
+        lora=result["lora"],
+        losses=result["losses"],
+        overfit_loss=overfit_loss,
+    )
+
+
+class TestConceptErasure:
+    def test_overfit_planted_the_concept(self, erasure_run):
+        """Precondition: the synthetic model must actually carry the
+        concept — ctx_c output correlates with the signature, ctx_n does
+        not (otherwise the rest of the test is vacuous)."""
+        r = erasure_run
+        sim_c = _concept_similarity(r["bundle"], r["lora"], 0.0, r["ctx_c"], r["sig"])
+        sim_n = _concept_similarity(r["bundle"], r["lora"], 0.0, r["ctx_n"], r["sig"])
+        assert sim_c > 0.8, f"concept not planted (sim={sim_c:.3f})"
+        assert abs(sim_n) < 0.4, f"neutral leaks signature (sim={sim_n:.3f})"
+
+    def test_erase_direction_of_effect(self, erasure_run):
+        """The notebook A/B protocol (train.ipynb cells 11-12): multiplier
+        +1 must suppress the concept signature relative to 0, and -1 must
+        sit on the other side of +1 (enhance direction)."""
+        r = erasure_run
+        sims = {
+            m: _concept_similarity(r["bundle"], r["lora"], m, r["ctx_c"], r["sig"])
+            for m in (-1.0, 0.0, 1.0)
+        }
+        # erase: with guidance 1 the ESD target is 2*neutral - concept
+        # = -sig here, so +1 should drive the correlation strongly down
+        assert sims[1.0] < sims[0.0] - 0.3, f"erase did not erase: {sims}"
+        # negative weight = enhance direction (README.md:85-107 grids)
+        assert sims[-1.0] > sims[1.0] + 0.3, f"-1 not on enhance side: {sims}"
+
+    def test_neutral_output_preserved(self, erasure_run):
+        """Erasing the concept must not blow up the neutral conditioning:
+        the LoRA'd neutral output stays close to the base neutral output
+        (the reference's grids show weight +1 only alters the target
+        concept's style)."""
+        r = erasure_run
+        bundle, lora = r["bundle"], r["lora"]
+        p0 = merge_params(bundle.base_params, scale_lora_tree(lora, 0.0))
+        p1 = merge_params(bundle.base_params, scale_lora_tree(lora, 1.0))
+        kx = jax.random.PRNGKey(55)
+        x = jax.random.normal(kx, (1, 8, 8, 4), jnp.float32)
+        t = jnp.float32(500.0)
+        out0 = bundle.unet.apply({"params": p0}, x, t, r["ctx_n"], None)
+        out1 = bundle.unet.apply({"params": p1}, x, t, r["ctx_n"], None)
+        # relative drift of the neutral prediction, vs the size of the
+        # change the same LoRA makes to the concept prediction
+        c0 = bundle.unet.apply({"params": p0}, x, t, r["ctx_c"], None)
+        c1 = bundle.unet.apply({"params": p1}, x, t, r["ctx_c"], None)
+        drift_n = float(jnp.linalg.norm(out1 - out0))
+        drift_c = float(jnp.linalg.norm(c1 - c0))
+        assert drift_c > 0, "LoRA is a no-op"
+        assert drift_n < drift_c, (
+            f"neutral drifted as much as the concept ({drift_n:.4f} vs "
+            f"{drift_c:.4f}) — erasure is not concept-selective"
+        )
+
+    def test_eval_plumbing_reports_positive_delta(self, erasure_run):
+        """Wire the same A/B through eval.erased_concept_delta with a stub
+        scorer (signature correlation instead of CLIP): the reported delta
+        must be positive — the north-star quality metric's plumbing works
+        end-to-end without real CLIP weights."""
+        from leco_tpu.eval import erased_concept_delta
+
+        r = erasure_run
+        bundle, sig = r["bundle"], r["sig"]
+
+        class SigScorer:
+            """CLIPScorer stand-in: score = signature correlation."""
+
+            def score(self, images, texts):
+                return np.asarray(
+                    [_cos(img, sig) for img in np.asarray(images)]
+                )
+
+        def generate_fn(prompt, seed, multiplier):
+            ctx = r["encode_fn"](prompt)
+            params = merge_params(
+                bundle.base_params, scale_lora_tree(r["lora"], multiplier)
+            )
+            kx = jax.random.PRNGKey(seed)
+            x = jax.random.normal(kx, (1, 8, 8, 4), jnp.float32)
+            return bundle.unet.apply(
+                {"params": params}, x, jnp.float32(500.0), ctx, None
+            )
+
+        out = erased_concept_delta(
+            SigScorer(),
+            decode_fn=lambda latents: latents,
+            generate_fn=generate_fn,
+            concept=CONCEPT,
+            seeds=(0, 1),
+        )
+        assert out["delta"] > 0.3, f"eval reports no erasure: {out}"
