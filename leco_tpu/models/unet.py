@@ -188,26 +188,42 @@ class ResnetBlock2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb):
+        from leco_tpu.ops import gn_conv
+
         kw = dict(
             lora_spec=self.lora_spec,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
         in_channels = x.shape[-1]
-        h = FusedGroupNorm(self.num_groups, 1e-5, with_silu=True, name="norm1")(
-            x.astype(self.dtype)
-        )
-        h = LoRAConv(
+        norm1 = FusedGroupNorm(self.num_groups, 1e-5, with_silu=True, name="norm1")
+        conv1 = LoRAConv(
             self.out_channels, (3, 3), padding=((1, 1), (1, 1)), name="conv1", **kw
-        )(h)
-        temb = LoRADense(self.out_channels, name="time_emb_proj", **kw)(
-            nn.silu(temb.astype(self.dtype))
         )
-        h = h + temb[:, None, None, :]
-        h = FusedGroupNorm(self.num_groups, 1e-5, with_silu=True, name="norm2")(h)
-        h = LoRAConv(
+        time_proj = LoRADense(self.out_channels, name="time_emb_proj", **kw)
+        norm2 = FusedGroupNorm(self.num_groups, 1e-5, with_silu=True, name="norm2")
+        conv2 = LoRAConv(
             self.out_channels, (3, 3), padding=((1, 1), (1, 1)), name="conv2", **kw
-        )(h)
+        )
+
+        x = x.astype(self.dtype)
+        temb_p = time_proj(nn.silu(temb.astype(self.dtype)))
+        if gn_conv.enabled():
+            # fused "padded-domain resnet" (ops/gn_conv.py): each GroupNorm
+            # collapses to a per-(batch, channel) affine; the time-emb add
+            # folds into norm2's affine analytically; each conv applies the
+            # silu epilogue inside the Pallas kernel. Identical math (the
+            # final h carries the temb contribution through conv2's affine)
+            a1, s1 = norm1(x, affine_only=True)
+            h = conv1(x, affine=(a1, s1))
+            a2, s2 = norm2(h, affine_only=True, temb=temb_p)
+            h = conv2(h, affine=(a2, s2))
+        else:
+            h = norm1(x)
+            h = conv1(h)
+            h = h + temb_p[:, None, None, :]
+            h = norm2(h)
+            h = conv2(h)
         if in_channels != self.out_channels:
             x = LoRAConv(self.out_channels, (1, 1), name="conv_shortcut", **kw)(x)
         return x + h

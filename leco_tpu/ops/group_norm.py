@@ -304,10 +304,25 @@ class FusedGroupNorm(nn.Module):
     with_silu: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, affine_only: bool = False, temb=None):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if affine_only:
+            # fused-resnet path (ops/gn_conv.py): return the per-(batch,
+            # channel) affine equivalent of this GroupNorm (+ optional
+            # folded time-embedding bias); the consuming conv applies the
+            # silu epilogue in its own kernel
+            from leco_tpu.ops import gn_conv
+
+            t = (
+                jnp.zeros((x.shape[0], c), jnp.float32)
+                if temb is None
+                else temb.astype(jnp.float32)
+            )
+            return gn_conv.affine_from_gn(
+                x, scale, bias, t, self.num_groups, self.eps
+            )
         use_kernel = (
             _FUSED_GN_ENABLED
             and jax.default_backend() == "tpu"
