@@ -1,0 +1,123 @@
+"""Project multi-chip (v5e-8) throughput for the batch-1 dp x sp recipe.
+
+VERDICT round-2 item 4: the dp x sp sharded step is proven correct
+(tests/test_multichip.py: numerics equal, collectives in HLO, Pallas flash
+kernel kept per the custom_partitioning rules) but had no performance
+story. Real multi-chip hardware is not reachable from this environment
+(one tunneled v5e chip), so this script builds the projection analytically
+from (a) the measured single-chip iteration time, (b) per-collective comm
+volumes computed exactly from the UNet architecture + sharding rules, and
+(c) public v5e ICI bandwidth. Every assumption is a printed line.
+
+Sharding recap (leco_tpu/parallel/mesh.py, ops/flash_attention.py):
+  * internal CFG batch (2B) shards over dp; the 3B reference batch and the
+    1B target batch don't divide dp=2 and shard over sp only;
+  * latent H shards over sp -> every self-attention all-gathers K and V
+    over sp (the custom_partitioning rule), GroupNorm stats all-reduce
+    per-(batch, channel) partial sums, 3x3 convs halo-exchange 2 rows;
+  * LoRA grads psum once per iteration over all 8 chips.
+
+Usage: python scripts/project_scaling.py [--its 2.09] [--inner 22]
+"""
+
+import argparse
+
+GB = 1e9
+MB = 1e6
+
+# v5e public specs: 197 bf16 TFLOP/s; ICI 4 links x 400 Gbps/dir per chip
+# (1600 Gbps = 200 GB/s aggregate egress). An all-gather over an sp=4 ring
+# sustains at most one link pair per direction -> use the per-link figure,
+# and report a conservative/optimistic band.
+ICI_PER_LINK = 50 * GB  # 400 Gbps
+ICI_EFF_LOW, ICI_EFF_HIGH = 0.6, 0.9
+
+
+def sd15_levels(res):
+    lat = res // 8
+    # (spatial N, channels, n_self_attn_layers, n_resnets) per level; SD1.5:
+    # layers_per_block=2 down (+3 up), attn at levels 0..2, mid at level 3
+    return [
+        (lat * lat, 320, 2 + 3, 2 + 3),
+        ((lat // 2) ** 2, 640, 2 + 3, 2 + 3),
+        ((lat // 4) ** 2, 1280, 2 + 3, 2 + 3),
+        ((lat // 8) ** 2, 1280, 1, 2 + 3 + 2),  # mid attn + level-3 resnets
+    ]
+
+
+def comm_per_fwd_sample(res, sp, itemsize=2):
+    """Bytes RECEIVED per chip per UNet forward of one sample."""
+    ag = halo = gn = 0.0
+    for n, c, attn, resnets in sd15_levels(res):
+        # flash_sharded partition rule: K and V gathered over sp
+        ag += attn * 2 * n * c * itemsize * (sp - 1) / sp
+        # 3x3 convs (2/resnet): 2 halo rows of (W, C) per chip boundary
+        w = int(n ** 0.5)
+        halo += resnets * 2 * 2 * w * c * itemsize
+        # GN stats: (B, C) fp32 partial sums (s1+s2), all-reduce over sp
+        gn += resnets * 2 * 2 * c * 4 * 2  # 2 GN/resnet, 2 sums, ~2x for AR
+    return ag, halo, gn
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--its", type=float, default=2.09,
+                    help="measured single-chip it/s (BENCH record)")
+    ap.add_argument("--inner", type=float, default=22.0,
+                    help="mean inner denoise steps (bench mean_inner_steps)")
+    ap.add_argument("--res", type=int, default=512)
+    ap.add_argument("--dp", type=int, default=2)
+    ap.add_argument("--sp", type=int, default=4)
+    args = ap.parse_args()
+
+    t_iter = 1.0 / args.its
+    # per-iteration UNet work in "sample-forwards" (trainer.py): the inner
+    # loop runs `inner` fwds on the 2B CFG batch, the references are ONE
+    # 3B-batched fwd, the target is 1 fwd + backward (~2 fwd-equivalents,
+    # 2B... batch 1 -> 2 CFG samples in the target pass too)
+    inner_sf = args.inner * 2
+    ref_sf = 3
+    target_sf = 2 * (1 + 2)  # fwd + ~2x bwd on the 2-sample CFG batch
+    total_sf = inner_sf + ref_sf + target_sf
+    t_sample_fwd = t_iter / total_sf
+    print(f"single chip: {args.its} it/s -> {t_iter*1e3:.0f} ms/iter over "
+          f"~{total_sf:.0f} sample-forwards -> {t_sample_fwd*1e3:.2f} ms each")
+
+    # compute speedup per phase: inner 2 samples -> dp x sp = full 8-way;
+    # 3B refs and 2-sample target: 3 and 2 don't divide... the 2-sample
+    # phases still split dp x sp = 8-way; 3B refs shard H over sp only on
+    # the dp=2 mesh -> 4-way (trainer shard_internal rule)
+    n_chips = args.dp * args.sp
+    eff_inner = n_chips
+    eff_ref = args.sp
+    eff_target = n_chips
+    t_compute = t_sample_fwd * (
+        inner_sf / eff_inner + ref_sf / eff_ref + target_sf / eff_target
+    )
+
+    ag, halo, gn = comm_per_fwd_sample(args.res, args.sp)
+    per_fwd_bytes = ag + halo + gn
+    print(f"comm per sample-forward per chip: all-gather {ag/MB:.1f} MB, "
+          f"conv halos {halo/MB:.2f} MB, GN stats {gn/MB:.3f} MB")
+    # backward of the target pass roughly doubles the attention exchanges
+    # (dQ gathers K/V, dKV gathers Q/dO)
+    comm_bytes_iter = per_fwd_bytes * (inner_sf + ref_sf + 2 * target_sf)
+    for eff, tag in ((ICI_EFF_LOW, "conservative"), (ICI_EFF_HIGH, "optimistic")):
+        bw = ICI_PER_LINK * eff
+        t_comm = comm_bytes_iter / bw
+        t_total = t_compute + t_comm  # worst case: zero overlap
+        its = 1.0 / t_total
+        wall = 500 / its
+        print(
+            f"[{tag}: ICI {bw/GB:.0f} GB/s/link, zero overlap] "
+            f"compute {t_compute*1e3:.1f} ms + comm {t_comm*1e3:.1f} ms "
+            f"-> {its:.1f} it/s/8-chip, 500 iters in {wall:.0f} s"
+        )
+    print(
+        "north star: 500-iteration van-gogh erase < 180 s on v5e-8 "
+        "(BASELINE.md)"
+    )
+
+
+if __name__ == "__main__":
+    main()
