@@ -208,19 +208,35 @@ class ResnetBlock2D(nn.Module):
 
         x = x.astype(self.dtype)
         temb_p = time_proj(nn.silu(temb.astype(self.dtype)))
-        if gn_conv.enabled():
-            # fused "padded-domain resnet" (ops/gn_conv.py): each GroupNorm
-            # collapses to a per-(batch, channel) affine; the time-emb add
-            # folds into norm2's affine analytically; each conv applies the
-            # silu epilogue inside the Pallas kernel. Identical math (the
-            # final h carries the temb contribution through conv2's affine)
+
+        def fuses(shape, conv_name):
+            # Per-conv decision: the affine decomposition is used ONLY
+            # where the Pallas kernel will actually take the conv (the
+            # tuned-table winners, gn_conv._TUNED — low-res levels).
+            # Everything else keeps the default sum-GN composition, whose
+            # XLA fusion graph the round-2 campaign already optimized —
+            # routing those shapes through an affine+silu fallback pass
+            # measured slower end-to-end (docs/DESIGN.md round 3).
+            spec = self.lora_spec
+            lora = spec is not None and spec.matches(self.path + (conv_name,))
+            return not lora and gn_conv.supports(
+                shape, self.out_channels, self.dtype
+            )
+
+        if gn_conv.enabled() and fuses(x.shape, "conv1"):
+            # fused "padded-domain resnet" (ops/gn_conv.py): the GroupNorm
+            # collapses to a per-(batch, channel) affine and the conv
+            # applies the silu epilogue inside the Pallas kernel
             a1, s1 = norm1(x, affine_only=True)
             h = conv1(x, affine=(a1, s1))
+        else:
+            h = conv1(norm1(x))
+        if gn_conv.enabled() and fuses(h.shape, "conv2"):
+            # the time-emb add folds into norm2's affine analytically (the
+            # final h carries the temb contribution through conv2's affine)
             a2, s2 = norm2(h, affine_only=True, temb=temb_p)
             h = conv2(h, affine=(a2, s2))
         else:
-            h = norm1(x)
-            h = conv1(h)
             h = h + temb_p[:, None, None, :]
             h = norm2(h)
             h = conv2(h)

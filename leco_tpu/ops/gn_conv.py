@@ -64,35 +64,123 @@ def enabled() -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _vmem_bytes(bh, w, cb, cout, itemsize):
-    xblk = 2 * (bh + 3) * w * cb * itemsize  # double-buffered input block
-    pad = (bh + 3) * (w + 2) * cb * itemsize  # scratch padded domain
-    acc = bh * (w + 2) * cout * 4
-    out = 2 * bh * w * cout * itemsize
-    wts = 2 * 9 * cb * cout * itemsize  # double-buffered weight block
-    return xblk + pad + acc + out + wts + 256 * 1024
+_PEAK_BF16 = 197e12  # v5e MXU
+_HBM_BW = 819e9
+_VMEM_BW = 3.5e12  # approximate VPU<->VMEM
 
 
-def _pick_blocks(h, w, cin, cout, itemsize):
-    """(bh, c_blk) maximizing MXU M-occupancy under the VMEM budget.
-    Returns None if nothing fits (caller falls back to XLA)."""
-    best = None
-    c_divs = [d for d in (cin, 2560, 1920, 1280, 960, 640, 512, 384, 320,
-                          256, 128) if d <= cin and cin % d == 0]
-    for bh in range(min(h, 64), 0, -1):
-        if h % bh:
-            continue
-        m = bh * (w + 2)
-        eff = m / (-(-m // 128) * 128)
-        for cb in c_divs:
-            if _vmem_bytes(bh, w, cb, cout, itemsize) > _VMEM_BUDGET:
-                continue
-            # fewer channel chunks = fewer acc revisits; prefer large cb
-            score = (eff, cb, bh)
-            if best is None or score > best[0]:
-                best = (score, bh, cb)
-            break  # c_divs sorted desc: first fit is the largest
-    return None if best is None else (best[1], best[2])
+def _vmem_bytes(b, bh, w, cb, cob, itemsize):
+    mp = (bh + 3) * (w + 2)
+    bm = bh * (w + 2)
+    xblk = 2 * b * (bh + 3) * w * cb * itemsize  # double-buffered input
+    pad = b * mp * cb * itemsize  # flat scratch padded domain (whole batch)
+    im2 = b * bm * 9 * cb * itemsize  # tap-gathered im2col slab
+    acc = b * bm * cob * 4
+    out = 2 * b * bh * w * cob * itemsize
+    wts = 2 * 9 * cb * cob * itemsize  # double-buffered weight block
+    interm = b * (bh + 3) * w * cb * 4  # f32 epilogue value (Mosaic stack)
+    return xblk + pad + im2 + acc + out + wts + interm + 256 * 1024
+
+
+def _pick_blocks(b, h, w, cin, cout, itemsize):
+    """(bh, cb, cob) block config, or None if nothing fits the VMEM
+    budget (caller falls back to XLA).
+
+    Empirical preference from the on-chip sweep (scripts/autotune_gnconv.py,
+    v5e, _TUNED below): the winner is uniformly **bh=8, cb=128,
+    cob=<largest that fits>** — a small channel chunk keeps the
+    double-buffered input+weight slabs light while K=9*128 is already
+    MXU-deep, and a full-width accumulator minimizes revisits. The search
+    tries bh nearest 8 first, then the largest cob, then the smallest cb.
+
+    The whole batch rides in every block (one GEMM spans all images) and
+    the 9 taps are gathered into an im2col VMEM slab so each channel chunk
+    is a single K=9*cb GEMM (two accumulator passes per chunk instead of
+    18 — the acc VMEM round-trips cost as much as the MXU time in the
+    tap-by-tap variant).
+
+    Mosaic constraints established by on-chip compile probes (round 3):
+      * a PARTIAL block of the (lane) channel dim must be a 128-multiple
+        (so cin is zero-padded up front, _padded_cin, and cb/cob divisors
+        are restricted to 128-multiples);
+      * H-dim Element offsets are unconstrained (untiled leading dim);
+      * tap gathers/GEMM operands must address scratch REFS (lazy loads,
+        the ops/conv.py pattern) — slicing a materialized value 9x
+        allocates 9 relayout copies and blows VMEM."""
+    bhs = sorted(
+        (d for d in range(1, h + 1) if h % d == 0),
+        key=lambda d: (d != 8, abs(d - 8)),
+    )
+    c_divs = sorted(d for d in range(128, cin + 1, 128) if cin % d == 0)
+    # the weight block's lane dim (cout) needs the same 128-multiple
+    # treatment as cin (the in-kernel (9, cb, cob) -> (9*cb, cob) flatten
+    # trips window inference otherwise): pad cout up and emit a single
+    # sliced chunk when cout itself is not a 128-multiple
+    if cout % 128:
+        co_divs = [_padded_cin(cout)]
+    else:
+        co_divs = sorted(
+            {cout} | {d for d in range(128, cout, 128) if cout % d == 0},
+            reverse=True,
+        )
+    for bh in bhs:
+        for cob in co_divs:
+            for cb in c_divs:
+                if _vmem_bytes(b, bh, w, cb, cob, itemsize) <= _VMEM_BUDGET:
+                    return (bh, cb, cob)
+    return None
+
+
+# On-chip autotune results (scripts/autotune_gnconv.py on a real v5e chip,
+# device-trace timing, 2026-08-17; raw table docs/data/gnconv_tune_v5e.json).
+# Key (h, w, cin, cout) -> None where the XLA composition
+# (apply_affine_silu + lax.conv) beat every kernel config, else the best
+# (bh, cb, cob). Measured at b=2; VMEM is re-checked at the actual batch on
+# lookup. The pattern: the kernel wins the low-res levels (16x16, 8x8 —
+# where XLA's conv has poor MXU occupancy and the epilogue fusion matters
+# relatively more) and loses at 64x64/32x32 where XLA's native conv tiling
+# is already near its floor and our im2col VMEM traffic dominates.
+_TUNED = {
+    (64, 64, 320, 320): None,
+    (64, 64, 960, 320): None,
+    (64, 64, 640, 320): None,
+    (32, 32, 320, 640): None,
+    (32, 32, 640, 640): None,
+    (32, 32, 1920, 640): None,
+    (32, 32, 960, 640): None,
+    (32, 32, 1280, 640): (4, 256, 640),
+    (16, 16, 640, 1280): (8, 128, 1280),
+    (16, 16, 1280, 1280): (8, 128, 1280),
+    (16, 16, 2560, 1280): (8, 128, 1280),
+    (16, 16, 1920, 1280): (8, 128, 1280),
+    (8, 8, 1280, 1280): (8, 128, 1280),
+    (8, 8, 2560, 1280): (8, 128, 1280),
+    (8, 8, 1920, 1280): (8, 128, 1280),
+}
+_MISS = object()
+
+
+def _dispatch(b, h, w, cin, cout, itemsize):
+    """The one place the fused-vs-XLA decision is made (supports() and
+    _fwd_impl agree by construction): None -> XLA composition, else the
+    (bh, cb, cob) block config."""
+    cp = _padded_cin(cin)
+    tuned = _TUNED.get((h, w, cin, cout), _MISS)
+    if tuned is None:
+        return None
+    if tuned is not _MISS:
+        bh, cb, cob = tuned
+        if (
+            h % bh == 0
+            and cp % cb == 0
+            and _vmem_bytes(b, bh, w, cb, cob, itemsize) <= _VMEM_BUDGET
+        ):
+            return tuned
+    elif h > 16 or w > 16:
+        # unmeasured high-res shape: extrapolate the sweep's clean split —
+        # XLA wins everything above 16x16
+        return None
+    return _pick_blocks(b, h, w, cp, cout, itemsize)
 
 
 # ---------------------------------------------------------------------------
@@ -101,108 +189,148 @@ def _pick_blocks(h, w, cin, cout, itemsize):
 
 
 def _gnconv_kernel(
-    x_ref,  # (1, bh+3, W, cb)   H-padded natural-layout input slab
-    a_ref,  # (1, 1, cb) f32     per-(batch, channel) GN affine scale
-    s_ref,  # (1, 1, cb) f32     per-(batch, channel) GN affine shift
-    w_ref,  # (9, cb, Cout)      tap-major conv weights
-    b_ref,  # (1, Cout) f32      conv bias
-    o_ref,  # (1, bh, W, Cout)
-    pad_ref,  # scratch (bh+3, W+2, cb) input dtype
-    acc_ref,  # scratch (bh*(W+2), Cout) f32
+    x_ref,  # (B, bh+3, W, cb)   H-padded natural-layout input slab
+    a_ref,  # (B, 1, cb) f32     per-(batch, channel) GN affine scale
+    s_ref,  # (B, 1, cb) f32     per-(batch, channel) GN affine shift
+    w_ref,  # (9, cb, cob)       tap-major conv weight block
+    b_ref,  # (1, cob) f32       conv bias block
+    o_ref,  # (B, bh, W, cob)
+    pad_ref,  # scratch (B*(bh+3)*(W+2), cb) flat padded domain, input dtype
+    im2_ref,  # scratch (B*bh*(W+2), 9*cb) tap-gathered im2col slab
+    acc_ref,  # scratch (B*bh*(W+2), cob) f32
     *,
+    b: int,
     bh: int,
     w: int,
     h: int,
     nc: int,
+    nco: int,
+    cob: int,
     with_silu: bool,
 ):
-    ih = pl.program_id(1)
+    ih = pl.program_id(0)
+    ico = pl.program_id(1)
     ic = pl.program_id(2)
+    w2 = w + 2
+    mp = (bh + 3) * w2
+    bm = bh * w2
+    cb = pad_ref.shape[-1]
 
     # activation epilogue of the producing GroupNorm, applied to the slab
     # already in VMEM: y = silu(a*x + b) in fp32, zeroed outside the valid
     # image rows (padded row index ih*bh + r maps to image row -1 at r=0)
-    xf = x_ref[0].astype(jnp.float32)
-    y = xf * a_ref[0, 0] + s_ref[0, 0]
+    xf = x_ref[...].astype(jnp.float32)
+    y = xf * a_ref[...][:, :, None, :] + s_ref[...][:, :, None, :]
     if with_silu:
         y = y * jax.nn.sigmoid(y)
-    row = lax.broadcasted_iota(jnp.int32, (bh + 3, 1, 1), 0) + ih * bh
+    row = lax.broadcasted_iota(jnp.int32, (1, bh + 3, 1, 1), 1) + ih * bh
     valid = (row >= 1) & (row <= h)
     y = jnp.where(valid, y, 0.0).astype(pad_ref.dtype)
-    pad_ref[:, 1 : w + 1, :] = y
-    pad_ref[:, 0:1, :] = jnp.zeros_like(pad_ref[:, 0:1, :])
-    pad_ref[:, w + 1 : w + 2, :] = jnp.zeros_like(pad_ref[:, 0:1, :])
+    # W-pad in registers, then ONE flat write; the tap gather below moves
+    # scratch->scratch through REF slices (lazy sublane-offset loads, the
+    # ops/conv.py pattern) — slicing a materialized value 9x would
+    # allocate 9 relayout copies (VMEM OOM, established by on-chip
+    # probes).
+    zcol = jnp.zeros((b, bh + 3, 1, y.shape[-1]), y.dtype)
+    ypad = jnp.concatenate([zcol, y, zcol], axis=2)  # (B, bh+3, W+2, cb)
+    pad_ref[...] = ypad.reshape(b * mp, -1)
 
-    flat = pad_ref[...].reshape((bh + 3) * (w + 2), pad_ref.shape[-1])
-    bm = bh * (w + 2)
+    # gather the 9 taps into lane-blocks of the im2col slab, per image
+    # (each image reads its OWN halo rows, so images pack gap-free into
+    # the GEMM M dim); lane offsets t*cb are 128-aligned by construction
+    for i in range(b):
+        for t in range(9):
+            off = (t // 3) * w2 + t % 3
+            im2_ref[i * bm : (i + 1) * bm, t * cb : (t + 1) * cb] = pad_ref[
+                i * mp + off : i * mp + off + bm, :
+            ]
 
     @pl.when(ic == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    for dy in range(3):
-        for dx in range(3):
-            off = dy * (w + 2) + dx
-            acc_ref[...] += jax.lax.dot(
-                flat[off : off + bm, :],
-                w_ref[dy * 3 + dx],
-                preferred_element_type=jnp.float32,
-            )
+    # ONE K=9*cb GEMM per channel chunk: 2 accumulator passes instead of
+    # 18 (the acc VMEM round-trips dominated the tap-by-tap variant). The
+    # (9, cb, cob) weight block flattens to (9*cb, cob) for free — the
+    # collapse is layout-preserving for cb % 8 == 0.
+    acc_ref[...] += jax.lax.dot(
+        im2_ref[...],
+        w_ref[...].reshape(9 * cb, cob),
+        preferred_element_type=jnp.float32,
+    )
 
     @pl.when(ic == nc - 1)
     def _done():
-        out = acc_ref[...] + b_ref[...]
-        out = out.reshape(bh, w + 2, -1)[:, :w, :]
-        o_ref[0] = out.astype(o_ref.dtype)
+        # cow < cob when cout itself is not a 128-multiple (320-out
+        # levels): the GEMM ran on lane-padded weights; drop the pad lanes
+        cow = o_ref.shape[-1]
+        for i in range(b):
+            out = acc_ref[i * bm : (i + 1) * bm, :] + b_ref[...]
+            out = out.reshape(bh, w2, -1)[:, :w, :cow]
+            o_ref[i] = out.astype(o_ref.dtype)
 
 
-def _gnconv_call(xp, a, s, wf, bias, *, h, w, cout, bh, cb, with_silu):
+def _gnconv_call(xp, a, s, wf, bias, *, h, w, cout, bh, cb, cob, with_silu):
     """xp: (B, H+3, W, Cin) H-padded input (1 top + 2 bottom pad rows);
-    a/s: (B, 1, Cin) f32 affine; wf: (9, Cin, Cout); bias: (1, Cout) f32."""
+    a/s: (B, 1, Cin) f32 affine; wf: (9, Cin, Cop) lane-padded weights;
+    bias: (1, Cop) f32. cout is the REAL output width (out array lanes)."""
     b, hp, _, cin = xp.shape
     nh = h // bh
     nc = cin // cb
+    nco = max(1, cout // cob)
+    cow = min(cob, cout)
+    mp = (bh + 3) * (w + 2)
+    bm = bh * (w + 2)
     E = pl.Element
     return pl.pallas_call(
         functools.partial(
-            _gnconv_kernel, bh=bh, w=w, h=h, nc=nc, with_silu=with_silu
+            _gnconv_kernel,
+            b=b,
+            bh=bh,
+            w=w,
+            h=h,
+            nc=nc,
+            nco=nco,
+            cob=cob,
+            with_silu=with_silu,
         ),
-        grid=(b, nh, nc),
+        grid=(nh, nco, nc),
         in_specs=[
             pl.BlockSpec(
-                (E(1), E(bh + 3), E(w), E(cb)),
-                lambda bi, ih, ic: (bi, ih * bh, 0, ic * cb),
+                (E(b), E(bh + 3), E(w), E(cb)),
+                lambda ih, ico, ic: (0, ih * bh, 0, ic * cb),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (E(1), E(1), E(cb)),
-                lambda bi, ih, ic: (bi, 0, ic * cb),
+                (E(b), E(1), E(cb)),
+                lambda ih, ico, ic: (0, 0, ic * cb),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (E(1), E(1), E(cb)),
-                lambda bi, ih, ic: (bi, 0, ic * cb),
+                (E(b), E(1), E(cb)),
+                lambda ih, ico, ic: (0, 0, ic * cb),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (E(9), E(cb), E(cout)),
-                lambda bi, ih, ic: (0, ic * cb, 0),
+                (E(9), E(cb), E(cob)),
+                lambda ih, ico, ic: (0, ic * cb, ico * cob),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (E(1), E(cout)), lambda bi, ih, ic: (0, 0),
+                (E(1), E(cob)), lambda ih, ico, ic: (0, ico * cob),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (E(1), E(bh), E(w), E(cout)),
-            lambda bi, ih, ic: (bi, ih * bh, 0, 0),
+            (E(b), E(bh), E(w), E(cow)),
+            lambda ih, ico, ic: (0, ih * bh, 0, ico * cob),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, w, cout), xp.dtype),
         scratch_shapes=[
-            pltpu.VMEM(((bh + 3), w + 2, cb), xp.dtype),
-            pltpu.VMEM((bh * (w + 2), cout), jnp.float32),
+            pltpu.VMEM((b * mp, cb), xp.dtype),
+            pltpu.VMEM((b * bm, 9 * cb), xp.dtype),
+            pltpu.VMEM((b * bm, cob), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * (w + 2) * 9 * cin * cout,
@@ -303,31 +431,51 @@ def _reference(x, gn_scale, gn_bias, temb, kernel, bias, num_groups, eps,
     return out + bias.astype(x.dtype)
 
 
+def _padded_cin(cin: int) -> int:
+    """Mosaic cannot window an input whose lane (channel) dim is not a
+    128-multiple (established by on-chip probes: C=320/960 fail window
+    inference however blocked; C=128k pass). Round up — the zero channels
+    ride the SAME pad copy as the H-halo (one fused XLA pad), get affine
+    (a, s) = (0, 0) so silu(0) = 0, and contribute nothing to the taps."""
+    return -(-cin // 128) * 128
+
+
 def supports(shape, cout, dtype) -> bool:
     """Hot-shape gate: SD's resnet convs are >= 128-channel (320/640/1280
     and the concat-widened sums); thin shapes (conv_in etc.) stay on XLA."""
+    if os.environ.get("LECO_GNCONV_KERNEL", "1") == "0":
+        # A/B knob: affine-collapsed GN with the epilogue riding XLA's
+        # conv input fusion instead of the Pallas kernel
+        return False
     if len(shape) != 4:
         return False
     b, h, w, c = shape
     if h < 4 or w < 4 or c < 128 or cout < 128:
         return False
-    return _pick_blocks(h, w, c, cout, jnp.dtype(dtype).itemsize) is not None
+    return _dispatch(b, h, w, c, cout, jnp.dtype(dtype).itemsize) is not None
 
 
 def _fwd_impl(x, a, s, kernel, bias, with_silu):
     b, h, w, cin = x.shape
     cout = kernel.shape[-1]
-    blocks = _pick_blocks(h, w, cin, cout, x.dtype.itemsize)
+    cp = _padded_cin(cin)
+    blocks = _dispatch(b, h, w, cin, cout, x.dtype.itemsize)
     if blocks is None:
         return _conv_reference(x, a, s, kernel, bias, with_silu)
-    bh, cb = blocks
-    xp = jnp.pad(x, ((0, 0), (1, 2), (0, 0), (0, 0)))
-    wf = kernel.astype(x.dtype).reshape(9, cin, cout)
-    bf = bias.reshape(1, cout).astype(jnp.float32)
+    bh, cb, cob = blocks
+    pc = cp - cin
+    po = cob * max(1, cout // cob) - cout  # lane pad for non-128k cout
+    xp = jnp.pad(x, ((0, 0), (1, 2), (0, 0), (0, pc)))
+    wf = jnp.pad(
+        kernel.astype(x.dtype), ((0, 0), (0, 0), (0, pc), (0, po))
+    ).reshape(9, cp, cout + po)
+    af = jnp.pad(a, ((0, 0), (0, pc)))
+    sf = jnp.pad(s, ((0, 0), (0, pc)))
+    bf = jnp.pad(bias, (0, po)).reshape(1, cout + po).astype(jnp.float32)
     return _gnconv_call(
         xp,
-        a[:, None, :],
-        s[:, None, :],
+        af[:, None, :],
+        sf[:, None, :],
         wf,
         bf,
         h=h,
@@ -335,6 +483,7 @@ def _fwd_impl(x, a, s, kernel, bias, with_silu):
         cout=cout,
         bh=bh,
         cb=cb,
+        cob=cob,
         with_silu=with_silu,
     )
 

@@ -20,15 +20,17 @@ def main():
     p.add_argument("--conv", default="xla")
     p.add_argument("--out", default="/tmp/fwd_hlo.txt")
     p.add_argument("--ops", nargs="*", default=[])
+    p.add_argument("--model", choices=["sd15", "sdxl"], default="sd15")
     args = p.parse_args()
     os.environ["LECO_CONV_BACKEND"] = args.conv
 
     from leco_tpu.lora import LoRASpec, merge_params
-    from leco_tpu.models.unet import sd15_config
+    from leco_tpu.models.unet import sd15_config, sdxl_config
     from leco_tpu.testing import make_random_bundle
 
+    cfg = sdxl_config() if args.model == "sdxl" else sd15_config()
     bundle = make_random_bundle(
-        config=sd15_config(),
+        config=cfg,
         spec=LoRASpec(rank=4),
         dtype=jnp.bfloat16,
         param_dtype=jnp.bfloat16,
@@ -39,9 +41,19 @@ def main():
     unet = bundle.unet
     h = args.res // 8
     x = jax.ShapeDtypeStruct((args.batch, h, h, 4), jnp.bfloat16)
-    ctx = jax.ShapeDtypeStruct((args.batch, 77, 768), jnp.bfloat16)
+    ctx = jax.ShapeDtypeStruct(
+        (args.batch, 77, cfg.cross_attention_dim), jnp.bfloat16
+    )
+    added = None
+    if args.model == "sdxl":
+        pooled = (cfg.projection_class_embeddings_input_dim
+                  - 6 * cfg.addition_time_embed_dim)
+        added = {
+            "text_embeds": jnp.zeros((args.batch, pooled), jnp.bfloat16),
+            "time_ids": jnp.zeros((args.batch, 6), jnp.bfloat16),
+        }
 
-    fwd = jax.jit(lambda p, x, c: unet.apply({"params": p}, x, 500.0, c))
+    fwd = jax.jit(lambda p, x, c: unet.apply({"params": p}, x, 500.0, c, added))
     compiled = fwd.lower(jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params), x, ctx).compile()
     text = compiled.as_text()
     with open(args.out, "w") as f:

@@ -18,13 +18,15 @@ import jax
 import jax.numpy as jnp
 
 
-def capture(logdir: str, res: int, batch: int, attn: str, n_calls: int = 4):
+def capture(logdir: str, res: int, batch: int, attn: str, n_calls: int = 4,
+            model: str = "sd15"):
     from leco_tpu.lora import LoRASpec, merge_params
-    from leco_tpu.models.unet import sd15_config
+    from leco_tpu.models.unet import sd15_config, sdxl_config
     from leco_tpu.testing import make_random_bundle
 
+    cfg = sdxl_config() if model == "sdxl" else sd15_config()
     bundle = make_random_bundle(
-        config=sd15_config(),
+        config=cfg,
         spec=LoRASpec(rank=4),
         dtype=jnp.bfloat16,
         param_dtype=jnp.bfloat16,
@@ -35,9 +37,22 @@ def capture(logdir: str, res: int, batch: int, attn: str, n_calls: int = 4):
     unet = bundle.unet
     h = res // 8
     x = jax.random.normal(jax.random.PRNGKey(0), (batch, h, h, 4), jnp.bfloat16)
-    ctx = jax.random.normal(jax.random.PRNGKey(1), (batch, 77, 768), jnp.bfloat16)
+    ctx = jax.random.normal(
+        jax.random.PRNGKey(1), (batch, 77, cfg.cross_attention_dim), jnp.bfloat16
+    )
+    added = None
+    if model == "sdxl":
+        pooled = (cfg.projection_class_embeddings_input_dim
+                  - 6 * cfg.addition_time_embed_dim)
+        added = {
+            "text_embeds": jnp.zeros((batch, pooled), jnp.bfloat16),
+            "time_ids": jnp.tile(
+                jnp.asarray([[res, res, 0, 0, res, res]], jnp.bfloat16),
+                (batch, 1),
+            ),
+        }
 
-    fwd = jax.jit(lambda p, x, c: unet.apply({"params": p}, x, 500.0, c))
+    fwd = jax.jit(lambda p, x, c: unet.apply({"params": p}, x, 500.0, c, added))
     out = fwd(params, x, ctx)
     jax.block_until_ready(out)
 
@@ -120,8 +135,10 @@ if __name__ == "__main__":
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--attn", default="flash")
     ap.add_argument("--logdir", default="/tmp/leco_fwd_trace")
+    ap.add_argument("--model", choices=["sd15", "sdxl"], default="sd15")
     args = ap.parse_args()
 
     shutil.rmtree(args.logdir, ignore_errors=True)
-    n, _ = capture(args.logdir, args.res, args.batch, args.attn)
+    n, _ = capture(args.logdir, args.res, args.batch, args.attn,
+                   model=args.model)
     analyze(args.logdir, n)

@@ -53,7 +53,7 @@ class TestKernel:
         """Wide inputs stream through VMEM-sized weight blocks (nc > 1) —
         the up-block conv1 case the round-2 conv kernel couldn't cover."""
         monkeypatch.setattr(gn_conv, "_VMEM_BUDGET", 2 * 1024 * 1024)
-        blocks = gn_conv._pick_blocks(8, 8, 384, 128, 4)
+        blocks = gn_conv._pick_blocks(2, 8, 8, 384, 128, 4)
         assert blocks is not None and blocks[1] < 384  # really chunked
         x, gs, gb, t, w_, b_ = _inputs(2, 8, 8, 384, 128)
         a, s = gn_conv.affine_from_gn(x, gs, gb, t, 32, 1e-5)
@@ -106,11 +106,16 @@ class TestKernel:
 
 class TestResnetIntegration:
     def test_fused_resnet_matches_unfused(self, monkeypatch):
-        """Whole tiny-UNet forward with LECO_RESNET_FUSED on vs off (the
-        tiny model exercises the affine-fold + temb-fold paths through the
-        XLA fallback; kernel-path parity is covered above and the on-chip
-        A/B in docs/DESIGN.md)."""
+        """Whole tiny-UNet forward with LECO_RESNET_FUSED on vs off.
+
+        The per-conv gate (ResnetBlock2D.fuses) only routes tuned-table
+        winners through the kernel, so the tiny model's shapes would take
+        the identical unfused composition in both runs — force supports()
+        True (+ interpret mode) so the model-level affine-fold, temb-fold,
+        and kernel paths are all exercised against the default
+        composition."""
         from leco_tpu.lora import merge_params
+        from leco_tpu.ops import gn_conv
         from leco_tpu.testing import make_random_bundle
 
         x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 4))
@@ -125,6 +130,10 @@ class TestResnetIntegration:
         monkeypatch.setenv("LECO_RESNET_FUSED", "0")
         ref = fwd()
         monkeypatch.setenv("LECO_RESNET_FUSED", "1")
+        monkeypatch.setenv("LECO_GNCONV_INTERPRET", "1")
+        monkeypatch.setattr(
+            gn_conv, "supports", lambda shape, cout, dtype: True
+        )
         got = fwd()
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), atol=2e-4
