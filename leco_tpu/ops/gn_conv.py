@@ -17,7 +17,7 @@ This kernel removes both problems:
   * the GroupNorm is collapsed OUTSIDE the kernel into a per-(batch,
     channel) affine: group statistics come from one fp32-accumulated
     channel-sum pass (the round-2 "sum-GN" trick), and the SD resnet's
-    `h + temb[:, None, None, :]`折叠 analytically into the SAME affine
+    `h + temb[:, None, None, :]` folds analytically into the SAME affine
     (E[(x+t)^2] = E[x^2] + 2tE[x] + t^2 — per-channel scalars), so the
     temb-add never touches HBM;
   * the kernel applies `silu(a*x + b)` to its input slab in VMEM (fp32,
