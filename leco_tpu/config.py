@@ -66,6 +66,11 @@ class TrainConfig(_Section):
     checkpoint_unet: bool = False
     save_state: bool = False  # orbax full-state snapshots at save cadence
     resume: bool = False  # resume from the latest snapshot in save.path/state
+    # exponential moving average of the LoRA weights (0 = off, the
+    # reference's behavior). When on, every save additionally writes a
+    # `*_ema.safetensors` next to the raw weights; EMA state rides along in
+    # full-state snapshots and resumes. Typical values 0.99-0.9999.
+    ema_decay: float = 0.0
     tensor_parallel: int = 1  # tp axis size (Megatron-style transformer TP)
     # sp axis size: shard the latent H dim so batch-1 recipes scale across a
     # slice (GSPMD halo-exchanges the convs, reduces GroupNorm stats). 0 =

@@ -21,7 +21,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from leco_tpu.lora import merge_params, scale_lora_tree
+from leco_tpu.lora import (
+    LoRASpec,
+    compose_lora_params,
+    merge_params,
+    scale_lora_tree,
+)
 from leco_tpu.models.loader import LoadedModels
 from leco_tpu.prompts import PromptEmbedsXL
 from leco_tpu.train import diffusion as diff
@@ -96,14 +101,23 @@ def generate_latents(
     prompt: str,
     negative_prompt: str = "",
     gen: GenerationConfig = GenerationConfig(),
-    lora: Optional[dict] = None,
+    lora: Optional[dict | list] = None,
     multiplier: float = 1.0,
+    spec: Optional[LoRASpec] = None,
 ) -> jnp.ndarray:
-    """Full text2img denoise -> final latents (B, h/8, w/8, 4)."""
+    """Full text2img denoise -> final latents (B, h/8, w/8, 4).
+
+    `lora` is either one LoRA tree (applied at `multiplier`) or a list of
+    (tree, multiplier) pairs — the A1111 multi-AddNet composition, folded
+    via `compose_lora_params` (requires `spec` for the alpha/rank scale)."""
     state = models.scheduler.set_timesteps(gen.num_inference_steps)
 
     params = models.unet_base_params
-    if lora is not None and multiplier != 0.0:
+    if isinstance(lora, (list, tuple)):
+        if spec is None:
+            raise ValueError("multi-LoRA composition requires spec=LoRASpec(...)")
+        params = compose_lora_params(params, lora, spec)
+    elif lora is not None and multiplier != 0.0:
         params = merge_params(params, scale_lora_tree(lora, multiplier))
 
     pos = _encode(models, prompt)

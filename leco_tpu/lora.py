@@ -501,6 +501,24 @@ def fold_lora_params(base, lora, spec: LoRASpec) -> dict:
     return unflatten_dict(flat)
 
 
+def compose_lora_params(base, loras, spec: LoRASpec) -> dict:
+    """Fold SEVERAL LoRAs into one base-shaped tree — the multi-AddNet
+    composition A1111 performs when more than one LoRA is active at once
+    (each slider gets its own weight). `loras` is a list of
+    (lora_tree, multiplier) pairs; deltas are additive so the sequential
+    fold W + m1*d1 + m2*d2 + ... is exact regardless of order.
+
+    Trees loaded from files with differing alphas must have been loaded via
+    `load_lora_weights(..., spec=spec)`, which rescales `lora_up` so every
+    tree is on this spec's alpha/rank scale."""
+    out = base
+    for tree, multiplier in loras:
+        if multiplier == 0.0:
+            continue
+        out = fold_lora_params(out, scale_lora_tree(tree, multiplier), spec)
+    return out
+
+
 def scale_lora_tree(lora, multiplier: float | jnp.ndarray):
     """Scale the LoRA contribution by `multiplier` (the reference's
     network multiplier / A1111 AddNet weight): contribution is linear in

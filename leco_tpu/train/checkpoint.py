@@ -34,8 +34,11 @@ def save_train_state(
     iteration: int,
     key,
     rng: np.random.Generator,
+    ema=None,
 ) -> str:
-    """Snapshot everything needed to resume mid-run."""
+    """Snapshot everything needed to resume mid-run. `ema` (optional) is
+    the EMA LoRA tree when train.ema_decay > 0; its presence is recorded in
+    the rng sidecar so restore knows whether to ask orbax for it."""
     import orbax.checkpoint as ocp
 
     import json
@@ -48,12 +51,17 @@ def save_train_state(
         "iteration": np.asarray(iteration),
         "key": np.asarray(key),
     }
+    if ema is not None:
+        state["ema"] = ema
     ckptr = _checkpointer()
     ckptr.save(path, state, force=True)
     # host RNG state: JSON sidecar (PCG64 state holds 128-bit ints that do
-    # not fit fixed-width array dtypes)
+    # not fit fixed-width array dtypes). "has_ema" rides along; old sidecars
+    # without it read as False.
+    sidecar = dict(rng.bit_generator.state)
+    sidecar["has_ema"] = ema is not None
     with open(path + ".rng.json", "w") as f:
-        json.dump(rng.bit_generator.state, f)
+        json.dump(sidecar, f)
     gc_snapshots(directory, protect=iteration)
     return path
 
@@ -131,6 +139,10 @@ def restore_train_state(
     ckptr = _checkpointer()
     import json
 
+    with open(path + ".rng.json") as f:
+        sidecar = json.load(f)
+    has_ema = sidecar.pop("has_ema", False)
+
     item = None
     if like is not None:
         item = {
@@ -139,11 +151,12 @@ def restore_train_state(
             "iteration": np.asarray(0),
             "key": np.zeros(2, dtype=np.uint32),
         }
+        if has_ema:
+            item["ema"] = like["lora"]
     state = ckptr.restore(path, item=item)
     state["iteration"] = int(np.asarray(state["iteration"]))
     state["key"] = jax.numpy.asarray(state["key"])
-    with open(path + ".rng.json") as f:
-        state["rng"] = _decode_rng(json.load(f))
+    state["rng"] = _decode_rng(sidecar)
     return state
 
 

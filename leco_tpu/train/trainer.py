@@ -292,6 +292,24 @@ def encode_prompt_pairs(
     return pairs
 
 
+def _multihost_shared_seed(seed: Optional[int]) -> Optional[int]:
+    """Every host must sample the SAME (pair, timesteps_to, bucket) sequence
+    per iteration — the jitted step is SPMD over the global mesh, so a host
+    whose loop diverges (different resolution -> different compiled program)
+    would deadlock the collectives. With a configured seed all hosts already
+    agree; with seed=None each host would draw independent OS entropy, so
+    host 0's draw is broadcast to everyone (single-process: pass-through,
+    preserving the reference's unseeded behavior)."""
+    if jax.process_count() == 1:
+        return seed
+    from jax.experimental import multihost_utils
+
+    if seed is None:
+        seed = int(np.random.SeedSequence().entropy % (2**63))
+    local = np.asarray([seed], dtype=np.int64)
+    return int(multihost_utils.broadcast_one_to_all(local)[0])
+
+
 def train(
     config: RootConfig,
     prompts: list[PromptSettings],
@@ -326,7 +344,7 @@ def train(
 
     save_dtype = np.dtype(parse_precision(config.save.precision))
 
-    seed = config.train.seed
+    seed = _multihost_shared_seed(config.train.seed)
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed if seed is not None else rng.integers(2**31))
 
@@ -354,6 +372,28 @@ def train(
     opt_state = optimizer.init(lora)
     base = bundle.base_params
 
+    # ---- optional EMA of the LoRA weights (leco-tpu extension; the
+    # reference has no EMA). Initialized AT the current weights so there is
+    # no zero-init bias to correct; updated on-device right after each step
+    # (LoRA trees are MBs — the lerp is noise next to the UNet passes).
+    ema_decay = float(config.train.ema_decay)
+    ema = None
+    ema_update = None
+    if ema_decay > 0.0:
+        if not 0.0 < ema_decay < 1.0:
+            raise ValueError(f"train.ema_decay must be in (0, 1), got {ema_decay}")
+        # real copies, not aliases: step_fn DONATES the lora buffers, so an
+        # aliased ema tree would be invalidated by the first step
+        ema = jax.tree.map(lambda x: jnp.array(x, copy=True), lora)
+
+        @jax.jit
+        def ema_update(e, p):
+            return jax.tree.map(
+                lambda a, b: a * ema_decay + b.astype(a.dtype) * (1.0 - ema_decay),
+                e,
+                p,
+            )
+
     # ---- optional full-state resume (leco-tpu extension; the reference
     # cannot resume, SURVEY.md section 5.4)
     state_dir = save_path / "state"
@@ -370,6 +410,14 @@ def train(
             start_iteration = restored["iteration"] + 1
             key = restored["key"]
             rng = restored["rng"]
+            if ema is not None:
+                # snapshots from before EMA was enabled lack the tree:
+                # restart the average from the restored weights. Copy, not
+                # alias — the restored lora tree is donated by the first step.
+                ema = jax.tree.map(
+                    lambda x: jnp.array(x, copy=True),
+                    restored.get("ema", restored["lora"]),
+                )
             print(f"resumed from {state_dir} at iteration {start_iteration}")
 
     step_fn = make_train_step(
@@ -447,6 +495,8 @@ def train(
             shard_batch=shard,
             shard_internal=shard_internal,
         )
+        if ema is not None:
+            ema = ema_update(ema, lora)
 
         # async loss drain: with logging.interval > 1 the host keeps
         # dispatching steps while earlier losses are still in flight; each
@@ -492,6 +542,10 @@ def train(
             p = save_path / f"{config.save.name}_{i}steps.safetensors"
             save_lora_weights(p, lora, bundle.spec, save_dtype, metadata)
             saved.append(p)
+            if ema is not None:
+                pe = save_path / f"{config.save.name}_{i}steps_ema.safetensors"
+                save_lora_weights(pe, ema, bundle.spec, save_dtype, metadata)
+                saved.append(pe)
             if config.train.save_state:
                 from leco_tpu.train import checkpoint as ckpt
 
@@ -502,6 +556,7 @@ def train(
                     iteration=i,
                     key=key,
                     rng=rng,
+                    ema=ema,
                 )
 
     # drain any in-flight losses (tail records reach metrics.jsonl too)
@@ -533,10 +588,14 @@ def train(
     p = save_path / f"{config.save.name}_last.safetensors"
     save_lora_weights(p, lora, bundle.spec, save_dtype, metadata)
     saved.append(p)
+    if ema is not None:
+        pe = save_path / f"{config.save.name}_last_ema.safetensors"
+        save_lora_weights(pe, ema, bundle.spec, save_dtype, metadata)
+        saved.append(pe)
 
     metrics_file.close()
     if wandb_run is not None:
         wandb_run.finish()
     print("Done.")
 
-    return {"lora": lora, "losses": losses, "saved": saved}
+    return {"lora": lora, "losses": losses, "saved": saved, "ema": ema}

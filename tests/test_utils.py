@@ -92,3 +92,11 @@ class TestNativeFallback:
         assert ids.shape == (1, 77)
         monkeypatch.delenv("LECO_TPU_NATIVE")
         importlib.reload(native_mod)
+
+
+class TestMultihostSeed:
+    def test_single_process_passthrough(self):
+        from leco_tpu.train.trainer import _multihost_shared_seed
+
+        assert _multihost_shared_seed(5) == 5
+        assert _multihost_shared_seed(None) is None
