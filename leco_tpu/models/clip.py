@@ -154,7 +154,12 @@ class CLIPTextModel(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, input_ids: jnp.ndarray):
+    def __call__(
+        self, input_ids: jnp.ndarray, input_embeds: Optional[jnp.ndarray] = None
+    ):
+        """`input_embeds` (B, N, hidden) optionally REPLACES the token-
+        embedding lookup (textual inversion trains vectors in that space);
+        `input_ids` is still required for the EOS pooling position."""
         cfg = self.config
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         b, n = input_ids.shape
@@ -162,6 +167,8 @@ class CLIPTextModel(nn.Module):
         tok = nn.Embed(
             cfg.vocab_size, cfg.hidden_size, name="token_embedding", **kw
         )(input_ids)
+        if input_embeds is not None:
+            tok = input_embeds.astype(tok.dtype)
         pos = nn.Embed(
             cfg.max_position_embeddings,
             cfg.hidden_size,
