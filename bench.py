@@ -220,7 +220,13 @@ def supervise():
 
     status_path = tempfile.mktemp(prefix="leco_bench_status_")
     cold_ttfi = None
-    for attempt in (1, 2):
+    # the tunneled runtime flaps (observed: connection-refused windows of
+    # >1 h) — a failed child is retried with backoff instead of losing the
+    # round's official record
+    retries_left = int(os.environ.get("LECO_BENCH_RETRIES", "4"))
+    backoff = 120
+    good_runs = 0
+    while good_runs < 2:
         env = dict(os.environ, LECO_BENCH_CHILD="1",
                    LECO_BENCH_STATUS=status_path)
         if cold_ttfi is not None:
@@ -228,7 +234,18 @@ def supervise():
         rc = subprocess.call([sys.executable, os.path.abspath(__file__)],
                              env=env)
         if rc != 0:
-            raise SystemExit(rc)
+            retries_left -= 1
+            if retries_left < 0:
+                raise SystemExit(rc)
+            print(
+                f"[bench supervisor] child failed rc={rc} (runtime flap?) "
+                f"-> retry in {backoff}s ({retries_left} retries left)",
+                flush=True,
+            )
+            time.sleep(backoff)
+            backoff = min(backoff * 2, 900)
+            continue
+        good_runs += 1
         try:
             with open(status_path) as f:
                 status = json.load(f)
