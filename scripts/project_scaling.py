@@ -45,10 +45,23 @@ def sd15_levels(res):
     ]
 
 
-def comm_per_fwd_sample(res, sp, itemsize=2):
+def sdxl_levels(res):
+    lat = res // 8
+    # SDXL (models/unet.py sdxl_config): 3 levels, level 0 has NO attention;
+    # transformer layers per attn block: [0, 2, 10]; attn blocks: 2 down +
+    # 3 up per attention level, + mid (10 layers) at level 2; one self-attn
+    # per transformer layer. Resnets: 2 down + 3 up per level, +2 mid.
+    return [
+        (lat * lat, 320, 0, 2 + 3),
+        ((lat // 2) ** 2, 640, (2 + 3) * 2, 2 + 3),
+        ((lat // 4) ** 2, 1280, (2 + 3) * 10 + 10, 2 + 3 + 2),
+    ]
+
+
+def comm_per_fwd_sample(res, sp, itemsize=2, levels=sd15_levels):
     """Bytes RECEIVED per chip per UNet forward of one sample."""
     ag = halo = gn = 0.0
-    for n, c, attn, resnets in sd15_levels(res):
+    for n, c, attn, resnets in levels(res):
         # flash_sharded partition rule: K and V gathered over sp
         ag += attn * 2 * n * c * itemsize * (sp - 1) / sp
         # 3x3 convs (2/resnet): 2 halo rows of (W, C) per chip boundary
@@ -65,10 +78,14 @@ def main():
                     help="measured single-chip it/s (BENCH record)")
     ap.add_argument("--inner", type=float, default=22.0,
                     help="mean inner denoise steps (bench mean_inner_steps)")
-    ap.add_argument("--res", type=int, default=512)
+    ap.add_argument("--res", type=int, default=None)
     ap.add_argument("--dp", type=int, default=2)
     ap.add_argument("--sp", type=int, default=4)
+    ap.add_argument("--model", choices=["sd15", "sdxl"], default="sd15")
     args = ap.parse_args()
+    if args.res is None:
+        args.res = 1024 if args.model == "sdxl" else 512
+    levels = sdxl_levels if args.model == "sdxl" else sd15_levels
 
     t_iter = 1.0 / args.its
     # per-iteration UNet work in "sample-forwards" (trainer.py): the inner
@@ -95,7 +112,7 @@ def main():
         inner_sf / eff_inner + ref_sf / eff_ref + target_sf / eff_target
     )
 
-    ag, halo, gn = comm_per_fwd_sample(args.res, args.sp)
+    ag, halo, gn = comm_per_fwd_sample(args.res, args.sp, levels=levels)
     per_fwd_bytes = ag + halo + gn
     print(f"comm per sample-forward per chip: all-gather {ag/MB:.1f} MB, "
           f"conv halos {halo/MB:.2f} MB, GN stats {gn/MB:.3f} MB")
