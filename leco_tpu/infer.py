@@ -104,12 +104,17 @@ def generate_latents(
     lora: Optional[dict | list] = None,
     multiplier: float = 1.0,
     spec: Optional[LoRASpec] = None,
+    positive_embeds: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Full text2img denoise -> final latents (B, h/8, w/8, 4).
 
     `lora` is either one LoRA tree (applied at `multiplier`) or a list of
     (tree, multiplier) pairs — the A1111 multi-AddNet composition, folded
-    via `compose_lora_params` (requires `spec` for the alpha/rank scale)."""
+    via `compose_lora_params` (requires `spec` for the alpha/rank scale).
+
+    `positive_embeds` (1, 77, d) overrides the positive prompt's encoding
+    (SD only) — how a trained textual-inversion embedding enters inference
+    (textual_inversion.encode_spliced)."""
     state = models.scheduler.set_timesteps(gen.num_inference_steps)
 
     params = models.unet_base_params
@@ -122,6 +127,10 @@ def generate_latents(
 
     pos = _encode(models, prompt)
     neg = _encode(models, negative_prompt)
+    if positive_embeds is not None:
+        if models.is_xl:
+            raise ValueError("positive_embeds targets SD1.x/2.x inference")
+        pos = jnp.asarray(positive_embeds)
     if models.is_xl:
         # (uncond, cond) order for CFG chunking (train_util.py:133-138)
         text_embeddings = jnp.concatenate(

@@ -194,6 +194,24 @@ def make_ti_train_step(
     return step
 
 
+def encode_spliced(
+    handle: TextEncoderHandle, token_ids, slots: np.ndarray, emb
+) -> jnp.ndarray:
+    """Sequence embedding of `token_ids` with the trained rows spliced in —
+    the inference-side counterpart of the step's encode (what A1111 does
+    when an embedding file is referenced in a prompt). Pass the result as
+    `generate_latents(..., positive_embeds=...)` for the -1/0/+1-style A/B."""
+    table = handle.params["token_embedding"]["embedding"]
+    tok = jnp.take(table, jnp.asarray(token_ids), axis=0)
+    tok = tok.at[:, np.asarray(slots)].set(
+        jnp.asarray(emb)[None].astype(tok.dtype)
+    )
+    last, _, _ = handle.model.apply(
+        {"params": handle.params}, jnp.asarray(token_ids), input_embeds=tok
+    )
+    return last
+
+
 def save_embedding(
     file: str | os.PathLike,
     emb,

@@ -127,6 +127,52 @@ class TestTraining:
             train_textual_inversion(_cfg(tmp_path), two, bundle, handle)
 
 
+class TestSplicedEncode:
+    def test_identity_splice_matches_plain_encode(self, setup):
+        """Splicing the UNCHANGED rows back in must reproduce the plain
+        token-id path bit-for-bit (also proves the input_embeds hook in
+        CLIPTextModel is equivalent to the embedding lookup)."""
+        from leco_tpu.train.textual_inversion import encode_spliced
+
+        bundle, handle = setup
+        token_ids, slots, emb0 = init_prompt_embedding(handle, "van gogh")
+        spliced = encode_spliced(handle, token_ids, slots, emb0)
+        plain, _, _ = handle.model.apply({"params": handle.params}, token_ids)
+        np.testing.assert_allclose(
+            np.asarray(spliced), np.asarray(plain), atol=1e-6
+        )
+
+    def test_positive_embeds_override(self, setup, fake_checkpoint, tmp_path):  # noqa: F811
+        from leco_tpu.infer import GenerationConfig, generate_latents
+        from leco_tpu.models.loader import load_models
+        from leco_tpu.train.textual_inversion import encode_spliced
+
+        bundle, handle = setup
+        root, _ = fake_checkpoint
+        models = load_models(str(root), "ddim", lora_spec=LoRASpec(rank=2),
+                             remat=False)
+        gen = GenerationConfig(height=64, width=64, num_inference_steps=2,
+                               seed=5)
+        token_ids, slots, emb0 = init_prompt_embedding(handle, "van gogh")
+        base = generate_latents(models, "van gogh", "", gen)
+        same = generate_latents(
+            models, "van gogh", "", gen,
+            positive_embeds=encode_spliced(handle, token_ids, slots, emb0),
+        )
+        # identity embedding -> identical generation
+        np.testing.assert_allclose(
+            np.asarray(base), np.asarray(same), atol=1e-5
+        )
+        # perturbed embedding -> different generation
+        moved = generate_latents(
+            models, "van gogh", "", gen,
+            positive_embeds=encode_spliced(
+                handle, token_ids, slots, emb0 + 0.5
+            ),
+        )
+        assert not np.allclose(np.asarray(base), np.asarray(moved))
+
+
 class TestExportFormat:
     def test_a1111_key_layout(self, tmp_path):
         emb = jnp.ones((2, 8), jnp.float32) * 0.5
