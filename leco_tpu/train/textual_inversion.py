@@ -309,7 +309,16 @@ def train_textual_inversion(
     losses: list[float] = []
     saved: list[Path] = []
     height = width = settings.resolution
-    for i in range(config.train.iterations):
+    metrics_file = open(save_path / "metrics.jsonl", "a")
+    try:
+        from tqdm import tqdm
+
+        pbar = tqdm(range(config.train.iterations))
+    except ImportError:  # pragma: no cover
+        pbar = range(config.train.iterations)
+    import json as _json
+
+    for i in pbar:
         timesteps_to = int(rng.integers(1, config.train.max_denoising_steps))
         key, sub = jax.random.split(key)
         emb, opt_state, loss = step_fn(
@@ -328,6 +337,19 @@ def train_textual_inversion(
         if not np.isfinite(loss_val):
             raise FloatingPointError(f"non-finite loss at iteration {i}")
         losses.append(loss_val)
+        if hasattr(pbar, "set_description"):
+            pbar.set_description(f"Loss*1k: {loss_val * 1000:.4f}")
+        metrics_file.write(
+            _json.dumps(
+                {
+                    "loss": loss_val,
+                    "iteration": i,
+                    "lr": float(lr_schedule(i)),
+                    "timesteps_to": timesteps_to,
+                }
+            )
+            + "\n"
+        )
         if on_step is not None:
             on_step(i, loss_val)
         if (
@@ -342,4 +364,5 @@ def train_textual_inversion(
     p = save_path / f"{config.save.name}_ti.safetensors"
     save_embedding(p, emb, config.save.name, save_dtype, metadata)
     saved.append(p)
+    metrics_file.close()
     return {"embedding": emb, "slots": slots, "losses": losses, "saved": saved}
