@@ -31,25 +31,11 @@ from leco_tpu.train.textual_inversion import (
     init_prompt_embedding,
     train_textual_inversion,
 )
+from tests.test_erasure_acceptance import _cos, _signatures
 from tests.test_loader_integration import fake_checkpoint  # noqa: F401
 
 CONCEPT = "van gogh"
 NEUTRAL = ""
-
-
-def _cos(a, b):
-    a = np.asarray(a, np.float64).ravel()
-    b = np.asarray(b, np.float64).ravel()
-    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
-
-
-def _signatures(shape=(1, 8, 8, 4)):
-    c = jax.random.normal(jax.random.PRNGKey(1234), shape, jnp.float32)
-    c = c / jnp.linalg.norm(c)
-    n = jax.random.normal(jax.random.PRNGKey(4321), shape, jnp.float32)
-    n = n - jnp.sum(n * c) * c
-    n = n / jnp.linalg.norm(n)
-    return c, n
 
 
 @pytest.fixture(scope="module")
