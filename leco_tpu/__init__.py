@@ -7,7 +7,7 @@ functional parameter-tree overlay, a single jitted train step, Pallas flash
 attention, and data parallelism over a `jax.sharding.Mesh`.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 from leco_tpu.config import (  # noqa: F401
     RootConfig,
@@ -22,6 +22,7 @@ from leco_tpu.prompts import (  # noqa: F401
 )
 from leco_tpu.lora import (  # noqa: F401
     LoRASpec,
+    compose_lora_params,
     fold_lora_params,
     load_lora_weights,
     merge_params,
