@@ -306,6 +306,17 @@ def train_textual_inversion(
     save_path.mkdir(parents=True, exist_ok=True)
     metadata = {"config": config.model_dump_json(), "target": settings.target}
 
+    wandb_run = None
+    if config.logging.use_wandb:
+        try:
+            import wandb
+
+            wandb_run = wandb.init(
+                project=f"LECO_{config.save.name}", config=metadata
+            )
+        except ImportError:
+            print("wandb not installed; continuing without it")
+
     losses: list[float] = []
     saved: list[Path] = []
     height = width = settings.resolution
@@ -350,6 +361,10 @@ def train_textual_inversion(
             )
             + "\n"
         )
+        if wandb_run is not None:
+            wandb_run.log(
+                {"loss": loss_val, "iteration": i, "lr": float(lr_schedule(i))}
+            )
         if on_step is not None:
             on_step(i, loss_val)
         if (
@@ -365,4 +380,6 @@ def train_textual_inversion(
     save_embedding(p, emb, config.save.name, save_dtype, metadata)
     saved.append(p)
     metrics_file.close()
+    if wandb_run is not None:
+        wandb_run.finish()
     return {"embedding": emb, "slots": slots, "losses": losses, "saved": saved}
