@@ -508,7 +508,9 @@ def train(
             loss_val = float(pending)
             if not np.isfinite(loss_val):
                 # failure detection the reference lacks (SURVEY.md 5.3): stop
-                # before writing a corrupted checkpoint over a good one
+                # before writing a corrupted checkpoint over a good one; flush
+                # the metrics file so the failure evidence reaches disk
+                metrics_file.close()
                 raise FloatingPointError(
                     f"non-finite loss {loss_val} at iteration {j}; aborting "
                     "(last good LoRA weights are in the previous periodic save)"
