@@ -90,8 +90,13 @@ class LoggingConfig(_Section):
     verbose: bool = False
     # leco-tpu extension: fetch the loss from device every N iterations.
     # 1 reproduces the reference's per-step loss display; larger values let
-    # the host run ahead of the device (async dispatch) for max throughput.
-    interval: int = 1
+    # the host run ahead of the device (async dispatch). Default 8: on a
+    # tunneled TPU each per-step fetch costs a host round-trip + dispatch-
+    # pipeline drain (~48 ms measured, scripts/ab_sync.py — 11% of step
+    # time); every loss still reaches metrics.jsonl/wandb with its own
+    # iteration's labels (see trainer.py async drain), the tqdm bar just
+    # updates in batches of 8. Set 1 for exact reference-style display.
+    interval: int = 8
 
 
 class OtherConfig(_Section):

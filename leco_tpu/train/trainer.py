@@ -564,6 +564,15 @@ def train(
     # drain any in-flight losses (tail records reach metrics.jsonl too)
     for j, pending, j_tsto, j_h, j_w in pending_losses:
         loss_val = float(pending)
+        if not np.isfinite(loss_val):
+            # same failure detection as the in-loop drain: a NaN in the last
+            # <interval iterations must abort BEFORE the final save below
+            # overwrites the last good weights
+            metrics_file.close()
+            raise FloatingPointError(
+                f"non-finite loss {loss_val} at iteration {j}; aborting "
+                "(last good LoRA weights are in the previous periodic save)"
+            )
         losses.append(loss_val)
         metrics_file.write(
             json.dumps(

@@ -69,15 +69,29 @@ def main():
     start = time.perf_counter()
     for t_to in t_tos:
         lora, opt_state, loss, key = it(lora, opt_state, key, int(t_to))
-        float(loss)  # per-iteration sync (see bench.py)
+        float(loss)
+    per_iter_elapsed = time.perf_counter() - start
+    stage(f"timed {len(t_tos)} iters (per-iter sync) in {per_iter_elapsed:.1f}s")
+
+    # deferred fetch: every loss is materialized inside the timed window —
+    # fully synced, but without a tunnel round-trip per step (see bench.py)
+    start = time.perf_counter()
+    pending = []
+    for t_to in t_tos:
+        lora, opt_state, loss, key = it(lora, opt_state, key, int(t_to))
+        pending.append(loss)
+    for p in pending:
+        float(p)
     elapsed = time.perf_counter() - start
-    stage(f"timed {len(t_tos)} iters in {elapsed:.1f}s")
+    stage(f"timed {len(t_tos)} iters (deferred fetch) in {elapsed:.1f}s")
     print(
         json.dumps(
             {
                 "metric": f"SDXL LoRA train iters/sec/chip, {res}px bf16 rank4 ddim",
                 "value": round(len(t_tos) / elapsed, 4),
                 "unit": "it/s",
+                "sync": "deferred_fetch_all",
+                "per_iter_its_per_sec": round(len(t_tos) / per_iter_elapsed, 4),
                 "mean_inner_steps": float(np.mean(t_tos)),
             }
         )
