@@ -15,6 +15,9 @@ import numpy as np
 
 
 def main():
+    from leco_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from leco_tpu.lora import LoRASpec
     from leco_tpu.models.unet import sdxl_config
     from leco_tpu.ops.attention import default_backend
