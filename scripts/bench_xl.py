@@ -27,6 +27,7 @@ def main():
     from leco_tpu.train.trainer import build_pack, encode_prompt_pairs, make_train_step
 
     res = int(os.environ.get("LECO_BENCH_RES", "1024"))
+    platform = jax.devices()[0].platform
     t0 = time.perf_counter()
 
     def stage(msg):
@@ -65,6 +66,7 @@ def main():
 
     lora, opt_state, loss, key = it(lora, opt_state, key, 25)
     print("warm loss", float(loss))
+    time_to_first_iter = time.perf_counter() - t0
     stage("compiled + warm")
 
     rng = np.random.default_rng(0)
@@ -87,18 +89,27 @@ def main():
         float(p)
     elapsed = time.perf_counter() - start
     stage(f"timed {len(t_tos)} iters (deferred fetch) in {elapsed:.1f}s")
-    print(
-        json.dumps(
-            {
-                "metric": f"SDXL LoRA train iters/sec/chip, {res}px bf16 rank4 ddim",
-                "value": round(len(t_tos) / elapsed, 4),
-                "unit": "it/s",
-                "sync": "deferred_fetch_all",
-                "per_iter_its_per_sec": round(len(t_tos) / per_iter_elapsed, 4),
-                "mean_inner_steps": float(np.mean(t_tos)),
-            }
-        )
-    )
+    result = {
+        "metric": f"SDXL LoRA train iters/sec/chip, {res}px bf16 rank4 ddim",
+        "value": round(len(t_tos) / elapsed, 4),
+        "unit": "it/s",
+        "platform": platform,
+        "sync": "deferred_fetch_all",
+        "per_iter_its_per_sec": round(len(t_tos) / per_iter_elapsed, 4),
+        "mean_inner_steps": float(np.mean(t_tos)),
+        "time_to_first_iter_s": round(time_to_first_iter, 1),
+        "knobs": {
+            k: v for k, v in sorted(os.environ.items())
+            if k.startswith("LECO_")
+        },
+    }
+    print(json.dumps(result))
+    try:  # same cross-round history file the SD1.5 bench appends to
+        hist = os.path.join(os.path.dirname(__file__), "..", "bench_history.jsonl")
+        with open(hist, "a") as f:
+            f.write(json.dumps({**result, "ts": time.time()}) + "\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":
