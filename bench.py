@@ -22,22 +22,8 @@ import numpy as np
 BASELINE_ITS_PER_SEC = 0.083  # reference Colab figure (BASELINE.md)
 
 
-def _cache_dir() -> str:
-    env = os.environ.get("LECO_TPU_CACHE")
-    if env not in (None, "0", "1"):
-        return env
-    return os.path.expanduser("~/.cache/leco_tpu_xla")
-
-
-def _cache_listing() -> set:
-    d = _cache_dir()
-    try:
-        return set(os.listdir(d))
-    except OSError:
-        return set()
-
-
 def main():
+    from leco_tpu.utils import benchkit
     from leco_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -108,7 +94,7 @@ def main():
         return lora, opt_state, loss, key
 
     t_built = time.perf_counter() - t0
-    cache_before = _cache_listing()
+    cache_before = benchkit.cache_listing()
 
     # warmup / compile (one compilation serves every timesteps_to).
     # Split the first iteration into (dispatch = trace + XLA compile or
@@ -125,7 +111,7 @@ def main():
     # program (min_compile_time 1 s, so only the big step qualifies). New
     # files => this process compiled from scratch (cold); no new files with
     # a pre-populated dir => warm load.
-    cache_after = _cache_listing()
+    cache_after = benchkit.cache_listing()
     cache_new = sorted(cache_after - cache_before)
     cache_hit = bool(cache_before) and not cache_new
     stage(
@@ -225,81 +211,21 @@ def main():
         )
 
     print(json.dumps(result))
-    status_path = os.environ.get("LECO_BENCH_STATUS")
-    if status_path:
-        with open(status_path, "w") as f:
-            json.dump({"cache_hit": cache_hit, "ttfi": time_to_first_iter}, f)
-    try:  # append to the local history for cross-round tracking
-        with open("bench_history.jsonl", "a") as f:
-            f.write(json.dumps({**result, "ts": time.time()}) + "\n")
-    except OSError:
-        pass
-
-
-def supervise():
-    """Run the workload in clean child processes; if the first run compiled
-    cold (cache MISS), run once more against the now-populated cache so the
-    LAST printed JSON line — the official record — is provably warm.
-
-    The parent NEVER initializes jax: the tunneled TPU runtime admits one
-    client at a time (a live parent deadlocks any child; os.execv crashes
-    the re-exec'd process with FailedPrecondition on the inherited tunnel
-    state — both observed), so orchestration must stay jax-free and each
-    measurement gets a pristine process."""
-    import subprocess
-    import tempfile
-
-    status_path = tempfile.mktemp(prefix="leco_bench_status_")
-    cold_ttfi = None
-    # the tunneled runtime flaps (observed: connection-refused windows of
-    # >1 h) — a failed child is retried with backoff instead of losing the
-    # round's official record
-    retries_left = int(os.environ.get("LECO_BENCH_RETRIES", "4"))
-    backoff = 120
-    good_runs = 0
-    while good_runs < 2:
-        env = dict(os.environ, LECO_BENCH_CHILD="1",
-                   LECO_BENCH_STATUS=status_path)
-        if cold_ttfi is not None:
-            env["LECO_BENCH_COLD_TTFI"] = f"{cold_ttfi:.1f}"
-        rc = subprocess.call([sys.executable, os.path.abspath(__file__)],
-                             env=env)
-        if rc != 0:
-            retries_left -= 1
-            if retries_left < 0:
-                raise SystemExit(rc)
-            print(
-                f"[bench supervisor] child failed rc={rc} (runtime flap?) "
-                f"-> retry in {backoff}s ({retries_left} retries left)",
-                flush=True,
-            )
-            time.sleep(backoff)
-            backoff = min(backoff * 2, 900)
-            continue
-        good_runs += 1
-        try:
-            with open(status_path) as f:
-                status = json.load(f)
-        except OSError:
-            break
-        if status.get("cache_hit") or os.environ.get(
-            "LECO_BENCH_REWARM", "1"
-        ) == "0":
-            break
-        cold_ttfi = status.get("ttfi")
-        print(
-            f"[bench supervisor] cache was cold (TTFI {cold_ttfi:.0f}s) -> "
-            "one more run for a provably-warm official record",
-            flush=True,
-        )
-    try:
-        os.remove(status_path)
-    except OSError:
-        pass
+    benchkit.write_status(cache_hit, time_to_first_iter)
+    # append to the local history (ts + git sha) for cross-round tracking
+    benchkit.append_history(
+        result, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_history.jsonl")
+    )
 
 
 if __name__ == "__main__":
     if os.environ.get("LECO_BENCH_CHILD") == "1":
         main()
     else:
-        supervise()
+        # cold->warm supervision + flap retries live in benchkit (shared
+        # with scripts/bench_xl.py and scripts/bench_full.py)
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from leco_tpu.utils.benchkit import supervise
+
+        supervise(__file__)

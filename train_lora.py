@@ -14,6 +14,9 @@ def main(args):
     from leco_tpu.parallel.distributed import maybe_initialize_distributed
     from leco_tpu.utils.cache import enable_compilation_cache
 
+    from leco_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     maybe_initialize_distributed()
     enable_compilation_cache()
     from leco_tpu.config import load_config_from_yaml, parse_precision

@@ -13,6 +13,9 @@ import argparse
 def main(args):
     from leco_tpu.utils.cache import enable_compilation_cache
 
+    from leco_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     enable_compilation_cache()
     import jax.numpy as jnp
 
