@@ -17,6 +17,10 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# tests that drive the CLI in-process hit enable_compilation_cache(); keep
+# their CPU executables out of the TPU benches' persistent cache (listing
+# diffs there are the benches' warm/cold proof)
+os.environ.setdefault("LECO_TPU_CACHE", "0")
 
 import jax  # noqa: E402
 

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # train loops with EMA
+
 from leco_tpu.config import (
     NetworkConfig,
     PretrainedModelConfig,

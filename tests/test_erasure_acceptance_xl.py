@@ -26,6 +26,8 @@ import numpy as np
 import optax
 import pytest
 
+pytestmark = pytest.mark.slow  # acceptance-scale wall time (see pyproject markers)
+
 from leco_tpu.config import (
     LoggingConfig,
     NetworkConfig,

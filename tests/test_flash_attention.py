@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # Pallas interpret-mode kernels
 from jax.experimental.pallas import tpu as pltpu
 
 from leco_tpu.ops.attention import _xla_attention, multi_head_attention

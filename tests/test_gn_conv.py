@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # Pallas interpret-mode kernels
+
 from leco_tpu.ops import gn_conv
 
 

@@ -13,6 +13,8 @@ to fp32 tolerance (VERDICT round 1, item 2i).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # instantiates HF torch CLIP models
+
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 

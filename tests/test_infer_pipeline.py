@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # jitted multi-step denoise loops
+
 from leco_tpu.infer import GenerationConfig, ab_compare, generate_latents
 from leco_tpu.lora import LoRASpec
 from tests.test_loader_integration import fake_checkpoint  # fixture reuse

@@ -9,6 +9,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # CLI end-to-end over an on-disk checkpoint
 from safetensors.numpy import save_file
 
 from leco_tpu.models.clip import CLIPTextModel, CLIPTextConfig

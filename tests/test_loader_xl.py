@@ -8,6 +8,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # XL loader + dual-encoder end-to-end
 from safetensors.numpy import save_file
 
 from leco_tpu.models.clip import CLIPTextModel, CLIPTextConfig

@@ -17,9 +17,12 @@ from leco_tpu.testing import make_random_bundle
 from leco_tpu.train.optim import get_lr_schedule, get_optimizer
 from leco_tpu.train.trainer import build_pack, encode_prompt_pairs, make_train_step
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+    ),
+    pytest.mark.slow,  # whole-step sharded-vs-unsharded equivalence runs
+]
 
 
 def _run_step(mesh, shard, batch=8, seed=0):

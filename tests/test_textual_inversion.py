@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # runs TI training loops
+
 from leco_tpu.config import (
     NetworkConfig,
     PretrainedModelConfig,

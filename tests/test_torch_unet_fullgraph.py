@@ -17,6 +17,8 @@ embeddings)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # acceptance-scale wall time (see pyproject markers)
+
 torch = pytest.importorskip("torch")
 
 import jax
@@ -124,7 +126,6 @@ def _inputs(cfg, seed):
     return sample, timesteps, ctx, added
 
 
-@pytest.mark.slow
 @pytest.mark.parametrize("name,make_cfg", CASES, ids=[c[0] for c in CASES])
 class TestFullGraphParity:
     def test_forward_matches_torch(self, name, make_cfg):

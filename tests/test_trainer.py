@@ -7,6 +7,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # runs real train() loops
 from flax.traverse_util import flatten_dict
 
 from leco_tpu.config import (

@@ -5,6 +5,8 @@ import dataclasses
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # runs real train() loops (XL)
+
 from leco_tpu.config import (
     LoggingConfig,
     NetworkConfig,

@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # whole-UNet forwards incl. remat/backends
+
 from leco_tpu.models.unet import (
     UNet2DConditionModel,
     sd15_config,

@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # full-size golden forwards (fixture-gated)
 from flax.traverse_util import flatten_dict
 
 from leco_tpu.models.convert import torch_unet_to_flax
