@@ -41,6 +41,7 @@ alpha}` in torch tensor layout (lora.py:212-229).
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import os
 import re
@@ -112,6 +113,31 @@ def _kaiming_down_init(key, shape, dtype):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
+_RIDE_SUSPENDED = False
+
+
+@contextlib.contextmanager
+def ride_along_suspended():
+    """Disable the concat-GEMM fusion for code traced inside this scope.
+
+    The DIFFERENTIATED pass must not ride: autodiff of `x @ concat(W, down)`
+    materializes the cotangent GEMM at the FULL concatenated width
+    (in, out+r) before slicing out the r lora columns — wasted bwd FLOPs
+    single-chip, and under GSPMD the gradient all-reduce rides the full
+    width too (measured in round 4's compiled-HLO extraction: 1.06 GB/chip
+    per step vs ~5 MB for the true lora grads; scripts/extract_comm_hlo.py).
+    The trainer wraps only the target loss_fn in this scope; the
+    stop-gradient inner denoise and reference calls keep the fusion
+    (measured +3% fwd, round 2)."""
+    global _RIDE_SUSPENDED
+    prev = _RIDE_SUSPENDED
+    _RIDE_SUSPENDED = True
+    try:
+        yield
+    finally:
+        _RIDE_SUSPENDED = prev
+
+
 def _lora_ride_along() -> bool:
     """Concat-GEMM LoRA fusion (LECO_LORA_FUSE=0 opts out).
 
@@ -121,6 +147,8 @@ def _lora_ride_along() -> bool:
     bench (the GEGLU ride path must keep the gate GEMM separate — the
     single-concat form that merges value|gate|down into one GEMM breaks
     XLA's gelu fusion and costs ~20%, measured 1.46 it/s)."""
+    if _RIDE_SUSPENDED:
+        return False
     return os.environ.get("LECO_LORA_FUSE", "1") == "1"
 
 
@@ -563,7 +591,10 @@ def export_lora_state(
     """Flax lora tree -> {key: torch-layout array} with the reference's key
     format (lora.py:212-229): `lora_unet_<name>.lora_down.weight`,
     `.lora_up.weight`, `.alpha`."""
-    flat = flatten_dict(lora)
+    # one batched device->host transfer for the whole tree: per-leaf
+    # np.asarray() fetches cost a tunnel round-trip EACH (~96 leaves x
+    # ~50 ms measured as ~18 s save stalls in the round-4 full-recipe run)
+    flat = flatten_dict(jax.device_get(lora))
     layers: dict[tuple, dict] = {}
     for k, v in flat.items():
         layers.setdefault(k[:-1], {})[k[-1]] = np.asarray(v)

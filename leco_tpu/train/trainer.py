@@ -189,13 +189,19 @@ def make_train_step(
         # ---- differentiated target prediction, LoRA ON (train_lora.py:244-256)
         def loss_fn(lora_p):
             params = merge_params(base, lora_p)
-            pred = apply_unet(
-                params,
-                constrain(denoised * in_scale),
-                t,
-                pack["target_embeds"],
-                pack.get("target_added"),
-            )
+            # no concat-GEMM fusion under grad: its cotangent GEMM runs at
+            # the full concatenated width and (multi-chip) the grad
+            # all-reduce rides it — see lora.ride_along_suspended
+            from leco_tpu import lora as lora_lib
+
+            with lora_lib.ride_along_suspended():
+                pred = apply_unet(
+                    params,
+                    constrain(denoised * in_scale),
+                    t,
+                    pack["target_embeds"],
+                    pack.get("target_added"),
+                )
             return esd_loss(
                 pred, positive, uncond, neutral, guidance_scale, erase_sign
             )
@@ -367,6 +373,21 @@ def train(
     optimizer = get_optimizer(
         config.train.optimizer, lr_schedule, config.train.optimizer_args
     )
+    # lr values for logging, precomputed host-side in ONE device round-trip:
+    # float(lr_schedule(j)) per iteration is a device computation + fetch
+    # (~50 ms each through a tunneled TPU — measured as the largest single
+    # host-loop overhead in the round-4 full-recipe run)
+    try:
+        lr_values = np.asarray(
+            jax.vmap(lr_schedule)(jnp.arange(config.train.iterations))
+        )
+    except Exception:  # exotic schedule not vmappable -> per-step fallback
+        lr_values = None
+
+    def lr_at(j: int) -> float:
+        if lr_values is not None:
+            return float(lr_values[j])
+        return float(lr_schedule(j))
 
     lora = bundle.lora_params
     opt_state = optimizer.init(lora)
@@ -438,6 +459,41 @@ def train(
     except ImportError:  # pragma: no cover
         pbar = range(start_iteration, config.train.iterations)
 
+    def drain(batch: list) -> None:
+        """Materialize a batch of pending losses in ONE device->host
+        transfer (per-item float() costs a tunnel round-trip each), then
+        log every record with its own iteration's sampled metadata."""
+        vals = jax.device_get([p[1] for p in batch])
+        for (j, _, j_tsto, j_h, j_w), loss_val in zip(batch, vals):
+            loss_val = float(loss_val)
+            if not np.isfinite(loss_val):
+                # failure detection the reference lacks (SURVEY.md 5.3):
+                # stop before writing a corrupted checkpoint over a good
+                # one; flush the metrics file so the evidence reaches disk
+                metrics_file.close()
+                raise FloatingPointError(
+                    f"non-finite loss {loss_val} at iteration {j}; aborting "
+                    "(last good LoRA weights are in the previous periodic "
+                    "save)"
+                )
+            losses.append(loss_val)
+            if hasattr(pbar, "set_description"):
+                pbar.set_description(f"Loss*1k: {loss_val * 1000:.4f}")
+            record = {
+                "loss": loss_val,
+                "iteration": j,
+                "lr": lr_at(j),
+                "timesteps_to": j_tsto,
+                "resolution": [j_h, j_w],
+            }
+            metrics_file.write(json.dumps(record) + "\n")
+            if wandb_run is not None:
+                wandb_run.log(
+                    {"loss": loss_val, "iteration": j, "lr": lr_at(j)}
+                )
+            if on_step is not None:
+                on_step(j, loss_val)
+
     for i in pbar:
         pair = pairs[int(rng.integers(0, len(pairs)))]
         timesteps_to = int(
@@ -501,37 +557,19 @@ def train(
         # async loss drain: with logging.interval > 1 the host keeps
         # dispatching steps while earlier losses are still in flight; each
         # pending entry carries its own iteration's sampled metadata so the
-        # drained record is labeled correctly however late it lands
+        # drained record is labeled correctly however late it lands.
+        # interval == 1 reproduces the reference's per-step fetch exactly;
+        # interval > 1 batch-fetches the oldest `interval` losses once
+        # 2*interval are pending, so `interval` steps always stay in flight
+        # (draining to empty would stall the dispatch pipeline each window)
         pending_losses.append((i, loss, timesteps_to, height, width))
-        while len(pending_losses) >= max(1, config.logging.interval):
-            j, pending, j_tsto, j_h, j_w = pending_losses.pop(0)
-            loss_val = float(pending)
-            if not np.isfinite(loss_val):
-                # failure detection the reference lacks (SURVEY.md 5.3): stop
-                # before writing a corrupted checkpoint over a good one; flush
-                # the metrics file so the failure evidence reaches disk
-                metrics_file.close()
-                raise FloatingPointError(
-                    f"non-finite loss {loss_val} at iteration {j}; aborting "
-                    "(last good LoRA weights are in the previous periodic save)"
-                )
-            losses.append(loss_val)
-            if hasattr(pbar, "set_description"):
-                pbar.set_description(f"Loss*1k: {loss_val * 1000:.4f}")
-            record = {
-                "loss": loss_val,
-                "iteration": j,
-                "lr": float(lr_schedule(j)),
-                "timesteps_to": j_tsto,
-                "resolution": [j_h, j_w],
-            }
-            metrics_file.write(json.dumps(record) + "\n")
-            if wandb_run is not None:
-                wandb_run.log(
-                    {"loss": loss_val, "iteration": j, "lr": float(lr_schedule(j))}
-                )
-            if on_step is not None:
-                on_step(j, loss_val)
+        interval = max(1, config.logging.interval)
+        if interval == 1:
+            drain([pending_losses.pop(0)])
+        elif len(pending_losses) >= 2 * interval:
+            batch = pending_losses[:interval]
+            del pending_losses[:interval]
+            drain(batch)
 
         # periodic save (train_lora.py:292-302)
         if (
@@ -561,37 +599,11 @@ def train(
                     ema=ema,
                 )
 
-    # drain any in-flight losses (tail records reach metrics.jsonl too)
-    for j, pending, j_tsto, j_h, j_w in pending_losses:
-        loss_val = float(pending)
-        if not np.isfinite(loss_val):
-            # same failure detection as the in-loop drain: a NaN in the last
-            # <interval iterations must abort BEFORE the final save below
-            # overwrites the last good weights
-            metrics_file.close()
-            raise FloatingPointError(
-                f"non-finite loss {loss_val} at iteration {j}; aborting "
-                "(last good LoRA weights are in the previous periodic save)"
-            )
-        losses.append(loss_val)
-        metrics_file.write(
-            json.dumps(
-                {
-                    "loss": loss_val,
-                    "iteration": j,
-                    "lr": float(lr_schedule(j)),
-                    "timesteps_to": j_tsto,
-                    "resolution": [j_h, j_w],
-                }
-            )
-            + "\n"
-        )
-        if wandb_run is not None:
-            wandb_run.log(
-                {"loss": loss_val, "iteration": j, "lr": float(lr_schedule(j))}
-            )
-        if on_step is not None:
-            on_step(j, loss_val)
+    # drain any in-flight losses (tail records reach metrics.jsonl too);
+    # a NaN here must still abort BEFORE the final save below overwrites
+    # the last good weights (drain() raises)
+    if pending_losses:
+        drain(pending_losses)
     pending_losses.clear()
 
     print("Saving...")

@@ -88,13 +88,41 @@ def collect_collectives(hlo: str, n_devices: int) -> list[dict]:
     """One record per collective op instance in the optimized HLO.
 
     Tags ops by the computation they live in: collectives inside a while
-    body (the inner partial-denoise fori_loop) execute timesteps_to times
-    per step, everything else once."""
+    BODY computation (the inner partial-denoise fori_loop) execute
+    timesteps_to times per step, everything else once. Post-optimization
+    HLO names loop bodies `region_N.M`, so the body set is resolved from
+    the `while(...)` ops' body= attributes (plus nested calls from them)."""
+    # pass 1: which computations are while bodies (transitively)?
+    body_roots = set(re.findall(r"body=%?([\w.\-]+)", hlo))
+    calls: dict[str, set] = {}
+    computation = ""
+    for line in hlo.splitlines():
+        stripped = line.strip()
+        m_comp = re.match(r"(?:ENTRY )?%?([\w.\-]+) \(", stripped)
+        if m_comp and stripped.rstrip().endswith("{"):
+            computation = m_comp.group(1)
+            continue
+        for callee in re.findall(
+            r"(?:calls|to_apply|body|condition)=%?([\w.\-]+)", stripped
+        ):
+            calls.setdefault(computation, set()).add(callee)
+        for callee in re.findall(r"fusion\(.*?kind=\w+, calls=%?([\w.\-]+)",
+                                 stripped):
+            calls.setdefault(computation, set()).add(callee)
+    in_body = set()
+    frontier = list(body_roots)
+    while frontier:
+        c = frontier.pop()
+        if c in in_body:
+            continue
+        in_body.add(c)
+        frontier.extend(calls.get(c, ()))
+
     out = []
     computation = ""
     for line in hlo.splitlines():
         stripped = line.strip()
-        m_comp = re.match(r"(?:ENTRY )?%?([\w.\-]+) \([\w]", stripped)
+        m_comp = re.match(r"(?:ENTRY )?%?([\w.\-]+) \(", stripped)
         if m_comp and stripped.rstrip().endswith("{"):
             computation = m_comp.group(1)
         m = re.match(
@@ -128,7 +156,7 @@ def collect_collectives(hlo: str, n_devices: int) -> list[dict]:
                 "bytes": size,
                 "group": g,
                 "recv_per_chip": recv,
-                "in_loop": "while" in computation or "body" in computation,
+                "in_loop": computation in in_body,
                 "computation": computation,
             }
         )

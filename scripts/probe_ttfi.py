@@ -6,48 +6,35 @@ Round-3 warm breakdown: build 30.5 s, compile-or-load 76.5 s, first exec
 step executable is ~181 MB ZSTD-COMPRESSED on disk (cache entries carry
 the zstd magic 28 b5 2f fd), and a warm "load" must deserialize it and
 push it to the REMOTE TPU runtime through the axon tunnel — i.e. the load
-is tunnel-bandwidth-bound, not CPU-bound. This probe measures each piece:
+is tunnel-bandwidth-bound, not CPU-bound. Measured pieces:
 
-  1. tunnel data bandwidth (device_put of a large host array, blocked);
-  2. disk read + zstd decompress time of the real step cache entry;
-  3. the AOT pipeline on the REAL sd15 step at 512 px, staged:
-     trace -> lower -> compile(cached) -> first execution,
-     each timed separately (jax .trace/.lower/.compile AOT API);
-  4. the resulting floor arithmetic: executable bytes / tunnel MB/s.
+  phase aot — the staged AOT pipeline on the REAL sd15 step at 512 px:
+    trace -> lower -> compile(cached) -> first execution, each timed
+    separately (jax .trace/.lower/.compile API), plus disk-read/decompress
+    cost of the step's cache entry;
+  phase bandwidth — host->device and device->host transfer rate
+    (16 MB; a 128 MB probe wedged the tunnel for >13 min on 2026-08-19,
+    which is itself recorded evidence that bulk transfers crawl).
 
-Run on the TPU host with the cache warm (after bench.py):
-  python scripts/probe_ttfi.py
+Each phase runs in its own child process with a hard timeout so a wedged
+tunnel transfer cannot block the probe (observed). Run on the TPU host
+with the cache warm (after bench.py):  python scripts/probe_ttfi.py
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def main():
-    from leco_tpu.utils import benchkit
-    from leco_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
-
+def phase_bandwidth(report: dict):
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
-    t0 = time.perf_counter()
-
-    def stage(msg):
-        print(f"[probe +{time.perf_counter() - t0:6.1f}s] {msg}", flush=True)
-
-    dev = jax.devices()[0]
-    stage(f"platform={dev.platform}")
-    report = {}
-
-    # --- 1. tunnel bandwidth: 128 MB up, then fetch back down
-    mb = 128
+    mb = int(os.environ.get("LECO_PROBE_MB", "16"))
     host = np.ones((mb, 1024, 1024), np.uint8)
     t = time.perf_counter()
     dx = jax.device_put(host)
@@ -56,16 +43,32 @@ def main():
     t = time.perf_counter()
     _ = np.asarray(dx)
     down_s = time.perf_counter() - t
-    report["tunnel_up_mb_s"] = round(mb / up_s, 1)
-    report["tunnel_down_mb_s"] = round(mb / down_s, 1)
-    stage(f"device_put {mb} MB: up {up_s:.1f}s ({mb/up_s:.1f} MB/s), "
-          f"fetch {down_s:.1f}s ({mb/down_s:.1f} MB/s)")
-    del dx, host
+    report["probe_mb"] = mb
+    report["tunnel_up_mb_s"] = round(mb / up_s, 2)
+    report["tunnel_down_mb_s"] = round(mb / down_s, 2)
+    report["tunnel_up_s"] = round(up_s, 1)
+    report["tunnel_down_s"] = round(down_s, 1)
 
-    # --- 2. the on-disk step entry: read + decompress cost (host side)
+
+def phase_aot(report: dict):
+    from leco_tpu.utils import benchkit
+    from leco_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+
+    def stage(msg):
+        print(f"[probe +{time.perf_counter() - t0:6.1f}s] {msg}", flush=True)
+
+    # --- the on-disk step entry: read + decompress cost (host side)
     cache_dir = benchkit.cache_dir()
     step_entries = sorted(
-        (f for f in os.listdir(cache_dir) if f.startswith("jit_step-")),
+        (f for f in os.listdir(cache_dir) if f.startswith("jit_step-")
+         and os.path.getsize(os.path.join(cache_dir, f)) > 50e6),
         key=lambda f: os.path.getmtime(os.path.join(cache_dir, f)),
     )
     if step_entries:
@@ -74,8 +77,8 @@ def main():
         t = time.perf_counter()
         blob = open(p, "rb").read()
         read_s = time.perf_counter() - t
-        dec_s = None
-        raw_mb = None
+        report["step_entry_mb"] = round(size / 1e6, 1)
+        report["step_entry_read_s"] = round(read_s, 2)
         try:
             import zstandard as zstd
 
@@ -83,28 +86,17 @@ def main():
             raw = zstd.ZstdDecompressor().decompress(
                 blob, max_output_size=2_000_000_000
             )
-            dec_s = time.perf_counter() - t
-            raw_mb = len(raw) / 1e6
+            report["step_entry_decompress_s"] = round(time.perf_counter() - t, 2)
+            report["step_executable_raw_mb"] = round(len(raw) / 1e6, 1)
             del raw
-        except Exception as e:  # entry layout may not be bare zstd
+        except Exception as e:
             stage(f"decompress probe failed ({e}) — entry may be framed")
-        report["step_entry_mb"] = round(size / 1e6, 1)
-        report["step_entry_read_s"] = round(read_s, 2)
-        report["step_entry_decompress_s"] = (
-            round(dec_s, 2) if dec_s is not None else None
-        )
-        report["step_executable_raw_mb"] = (
-            round(raw_mb, 1) if raw_mb is not None else None
-        )
-        stage(
-            f"step entry {size/1e6:.0f} MB on disk: read {read_s:.2f}s"
-            + (f", zstd decompress {dec_s:.2f}s -> {raw_mb:.0f} MB raw"
-               if dec_s is not None else "")
-        )
-    else:
-        stage("no jit_step cache entry found — run bench.py first")
+        stage(f"step entry {size/1e6:.0f} MB: read {read_s:.2f}s, "
+              f"decompress {report.get('step_entry_decompress_s')}s -> "
+              f"{report.get('step_executable_raw_mb')} MB raw")
+        del blob
 
-    # --- 3. staged AOT pipeline on the real step
+    # --- staged AOT pipeline on the real step
     from leco_tpu.lora import LoRASpec
     from leco_tpu.models.unet import sd15_config
     from leco_tpu.ops.attention import default_backend
@@ -159,22 +151,63 @@ def main():
     report["first_exec_s"] = round(time.perf_counter() - t, 1)
     stage(f"first exec {report['first_exec_s']}s")
 
-    # --- 4. floor arithmetic
-    if step_entries and report["tunnel_up_mb_s"]:
-        floor = report["step_entry_mb"] / report["tunnel_up_mb_s"]
-        report["implied_load_floor_s"] = round(floor, 1)
-        stage(
-            f"floor: pushing the {report['step_entry_mb']:.0f} MB entry at "
-            f"{report['tunnel_up_mb_s']:.1f} MB/s (up) = {floor:.0f}s "
-            "minimum if the executable crosses the tunnel once"
-        )
 
-    print(json.dumps(report))
+def child(phase_name: str):
+    report = {}
+    t0 = time.perf_counter()
+    {"aot": phase_aot, "bandwidth": phase_bandwidth}[phase_name](report)
+    report[f"{phase_name}_total_s"] = round(time.perf_counter() - t0, 1)
+    with open(os.environ["LECO_PROBE_OUT"], "w") as f:
+        json.dump(report, f)
+
+
+def main():
+    from leco_tpu.utils import benchkit
+
+    merged = {"metric": "ttfi_probe"}
+    for phase_name, budget in (("aot", 1800), ("bandwidth", 600)):
+        out = f"/tmp/leco_probe_{phase_name}.json"
+        env = dict(os.environ, LECO_PROBE_PHASE=phase_name,
+                   LECO_PROBE_OUT=out)
+        try:
+            os.remove(out)
+        except OSError:
+            pass
+        t = time.perf_counter()
+        try:
+            rc = subprocess.call(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                timeout=budget,
+            )
+        except subprocess.TimeoutExpired:
+            merged[f"{phase_name}_TIMED_OUT_after_s"] = budget
+            print(f"[probe] phase {phase_name} TIMED OUT after {budget}s "
+                  "(wedged tunnel transfer?)", flush=True)
+            continue
+        if rc != 0:
+            merged[f"{phase_name}_failed_rc"] = rc
+            continue
+        try:
+            with open(out) as f:
+                merged.update(json.load(f))
+        except OSError:
+            pass
+        print(f"[probe] phase {phase_name} done in "
+              f"{time.perf_counter() - t:.0f}s", flush=True)
+
+    if "step_entry_mb" in merged and merged.get("tunnel_up_mb_s"):
+        merged["implied_load_floor_s"] = round(
+            merged["step_entry_mb"] / merged["tunnel_up_mb_s"], 1
+        )
+    print(json.dumps(merged))
     benchkit.append_history(
-        {"metric": "ttfi_probe", **report},
+        merged,
         os.path.join(os.path.dirname(__file__), "..", "bench_history.jsonl"),
     )
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("LECO_PROBE_PHASE"):
+        child(os.environ["LECO_PROBE_PHASE"])
+    else:
+        main()
