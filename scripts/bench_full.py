@@ -171,6 +171,16 @@ def main():
     stage("bundle built")
 
     cache_before = benchkit.cache_listing()
+    metrics_path = os.path.join(out_dir, "metrics.jsonl")
+
+    def metrics_lines() -> int:
+        try:
+            with open(metrics_path) as f:
+                return sum(1 for _ in f)
+        except OSError:
+            return 0
+
+    metrics_before = metrics_lines()  # out_dir persists across reruns
     step_times: list[tuple[int, float]] = []  # (iteration, wall time drained)
 
     def on_step(i, loss_val):
@@ -213,12 +223,7 @@ def main():
     except Exception:
         pass
 
-    metrics_path = os.path.join(out_dir, "metrics.jsonl")
-    try:
-        with open(metrics_path) as f:
-            metrics_lines = sum(1 for _ in f)
-    except OSError:
-        metrics_lines = 0
+    metrics_written = metrics_lines() - metrics_before
 
     losses = result["losses"]
     record = {
@@ -253,7 +258,7 @@ def main():
         "loss_first10_mean": round(sum(losses[:10]) / max(1, len(losses[:10])), 6),
         "loss_last10_mean": round(sum(losses[-10:]) / max(1, len(losses[-10:])), 6),
         "saves_written": [os.path.basename(str(p)) for p in result["saved"]],
-        "metrics_jsonl_lines": metrics_lines,
+        "metrics_jsonl_lines": metrics_written,
         "knobs": {k: v for k, v in sorted(os.environ.items())
                   if k.startswith("LECO_")},
     }

@@ -146,7 +146,7 @@ def phase_aot(report: dict):
     stage(f"compile-or-load {report['aot_compile_or_load_s']}s")
 
     t = time.perf_counter()
-    out = compiled(*args, **kwargs)
+    out = compiled(*args)  # statics are baked into the compiled object
     jax.block_until_ready(out[2])
     report["first_exec_s"] = round(time.perf_counter() - t, 1)
     stage(f"first exec {report['first_exec_s']}s")

@@ -64,9 +64,13 @@ def comm_per_fwd_sample(res, sp, itemsize=2, levels=sd15_levels):
     for n, c, attn, resnets in levels(res):
         # flash_sharded partition rule: K and V gathered over sp
         ag += attn * 2 * n * c * itemsize * (sp - 1) / sp
-        # 3x3 convs (2/resnet): 2 halo rows of (W, C) per chip boundary
+        # 3x3 convs (2/resnet): GSPMD exchanges the halo row in BOTH
+        # directions per conv (collective-permute pairs) — factor 2x over
+        # the one-sided model, confirmed by the round-4 compiled-HLO
+        # extraction (scripts/extract_comm_hlo.py: measured 4.51 MB
+        # bf16-equiv per sample-forward vs 3.0 analytic one-sided)
         w = int(n ** 0.5)
-        halo += resnets * 2 * 2 * w * c * itemsize
+        halo += resnets * 2 * 2 * 2 * w * c * itemsize
         # GN stats: (B, C) fp32 partial sums (s1+s2), all-reduce over sp
         gn += resnets * 2 * 2 * c * 4 * 2  # 2 GN/resnet, 2 sums, ~2x for AR
     return ag, halo, gn

@@ -267,6 +267,43 @@ class TestGradientFlow:
         ]
         assert any(n > 0 for n in up_norms)
 
+    def test_ride_suspension_preserves_grads(self):
+        """ride_along_suspended() must not change gradients — it only
+        changes the GEMM form autodiff differentiates through (the concat
+        form materializes a full-width cotangent GEMM; round-4 HLO comm
+        extraction). fp32 grads must agree to float tolerance."""
+        from leco_tpu.lora import ride_along_suspended
+
+        spec = LoRASpec(rank=2, alpha=1.0)
+        model, params, sample, ctx = init_tiny(spec)
+        base, lora = split_lora_params(params)
+        # randomize lora so both branches carry signal
+        lora = jax.tree.map(
+            lambda v: v + 0.05 * jax.random.normal(
+                jax.random.PRNGKey(7), v.shape, v.dtype
+            ),
+            lora,
+        )
+
+        def loss_fn(lora_p, suspend):
+            import contextlib
+
+            cm = ride_along_suspended() if suspend else contextlib.nullcontext()
+            with cm:
+                out = model.apply(
+                    {"params": merge_params(base, lora_p)}, sample, 10, ctx
+                )
+            return jnp.mean(out.astype(jnp.float32) ** 2)
+
+        g_ride = jax.grad(lambda p: loss_fn(p, False))(lora)
+        g_susp = jax.grad(lambda p: loss_fn(p, True))(lora)
+        for k in flatten_dict(g_ride):
+            np.testing.assert_allclose(
+                np.asarray(flatten_dict(g_ride)[k]),
+                np.asarray(flatten_dict(g_susp)[k]),
+                atol=1e-5, rtol=1e-4,
+            )
+
 
 class TestConsumerSemantics:
     """The exported tensors must produce the same math in external consumers
