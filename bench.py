@@ -39,10 +39,22 @@ def main():
     on_tpu = platform == "tpu"
     t0 = time.perf_counter()
 
+    progress = [time.perf_counter()]
+
     def stage(msg):
+        progress[0] = time.perf_counter()
         print(f"[bench +{time.perf_counter() - t0:6.1f}s] {msg}", flush=True)
 
     stage(f"platform={platform}")
+    if on_tpu:
+        # a mid-run tunnel stall leaves the process alive but frozen; the
+        # watchdog exits rc=3 so the supervisor retries (stage() is called
+        # between every fetch-bearing phase, so it doubles as the heartbeat)
+        # 2700 s bound for every phase: a single stage gap legitimately
+        # spans a cold compile (744 s observed), unlike bench_full's
+        # per-iteration heartbeat which can use the tight default
+        benchkit.stall_watchdog(
+            lambda: progress[0], timeout_s=2700.0, label="bench")
 
     attn = os.environ.get("LECO_BENCH_ATTN", default_backend())
     remat = os.environ.get("LECO_BENCH_REMAT", "0") == "1"

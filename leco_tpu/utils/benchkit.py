@@ -145,6 +145,48 @@ def supervise(script_path: str, rewarm: bool = True) -> None:
         pass
 
 
+def stall_watchdog(last_progress_fn, timeout_s: float | None = None,
+                   first_timeout_s: float | None = None,
+                   label: str = "bench") -> None:
+    """Abort a hung child so the supervisor's retry loop can act.
+
+    The tunneled runtime can stall MID-RUN (observed: a 500-iteration child
+    frozen at iteration 412 for >10 min with the process alive at ~0% CPU) —
+    the supervisor only sees exits, so a hang blocks the whole protocol
+    forever. This daemon thread exits the process with rc=3 when
+    `last_progress_fn()` (a monotonic perf_counter stamp, or None before the
+    first progress event) stops advancing for `timeout_s` (default 600 s,
+    LECO_STALL_TIMEOUT). Before the first event the bound is
+    `first_timeout_s` (default 2700 s, LECO_STALL_TIMEOUT_FIRST — cold TTFI
+    through the tunnel has measured up to 1280 s on SDXL, so the first-event
+    bound must be generous). os._exit is deliberate: the main thread is
+    blocked inside a device call and cannot unwind."""
+    import threading
+
+    timeout_s = timeout_s or float(os.environ.get("LECO_STALL_TIMEOUT", "600"))
+    first_timeout_s = first_timeout_s or float(
+        os.environ.get("LECO_STALL_TIMEOUT_FIRST", "2700"))
+    t_start = time.perf_counter()
+    poll = max(0.05, min(30.0, timeout_s / 4, first_timeout_s / 4))
+
+    def watch():
+        while True:
+            time.sleep(poll)
+            now = time.perf_counter()
+            last = last_progress_fn()
+            if last is None:
+                if now - t_start > first_timeout_s:
+                    print(f"[{label} watchdog] no first progress event in "
+                          f"{now - t_start:.0f}s -> abort rc=3", flush=True)
+                    os._exit(3)
+            elif now - last > timeout_s:
+                print(f"[{label} watchdog] no progress for {now - last:.0f}s "
+                      f"(runtime stall) -> abort rc=3", flush=True)
+                os._exit(3)
+
+    threading.Thread(target=watch, daemon=True, name=f"{label}-watchdog").start()
+
+
 def write_status(cache_hit: bool, ttfi: float) -> None:
     """Child half of the supervise() protocol."""
     status_path = os.environ.get("LECO_BENCH_STATUS")

@@ -103,8 +103,24 @@ def main():
     platform = jax.devices()[0].platform
     t_devices = time.perf_counter() - t0  # tunnel/runtime init
 
+    progress = [time.perf_counter()]
+
     def stage(msg):
+        progress[0] = time.perf_counter()
         print(f"[full +{time.perf_counter() - t0:7.1f}s] {msg}", flush=True)
+
+    # Start the stall watchdog BEFORE the first device touch: stalls have
+    # been observed both mid-loop (iteration ~41x frozen >10 min) and during
+    # the bundle build/transfer (frozen >9 min before any heartbeat
+    # existed). stage() + the per-iteration loss drain are the heartbeat;
+    # 900 s covers the longest legitimate single gap (347 s cold step
+    # compile observed at batch 2) with margin.
+    if platform == "tpu":
+        benchkit.stall_watchdog(
+            lambda: progress[0],
+            timeout_s=float(os.environ.get("LECO_STALL_TIMEOUT", "900")),
+            label="full",
+        )
 
     batch = int(os.environ.get("LECO_FULL_BATCH", "1"))
     iterations = int(os.environ.get("LECO_FULL_ITERS", "500"))
@@ -184,7 +200,9 @@ def main():
     step_times: list[tuple[int, float]] = []  # (iteration, wall time drained)
 
     def on_step(i, loss_val):
-        step_times.append((i, time.perf_counter()))
+        now = time.perf_counter()
+        progress[0] = now  # heartbeat for the stall watchdog
+        step_times.append((i, now))
 
     t_train0 = time.perf_counter()
     result = train(config, prompts, bundle, mesh=None, on_step=on_step)

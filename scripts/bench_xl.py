@@ -41,10 +41,19 @@ def main():
     on_tpu = platform == "tpu"
     t0 = time.perf_counter()
 
+    progress = [time.perf_counter()]
+
     def stage(msg):
+        progress[0] = time.perf_counter()
         print(f"[bench-xl +{time.perf_counter() - t0:6.1f}s] {msg}", flush=True)
 
     stage(f"platform={platform} attn={attn} res={res}")
+    if on_tpu:
+        # unblock the supervisor on a mid-run tunnel stall; 2700 s bound
+        # because one stage gap legitimately spans the SDXL cold compile
+        # (1280 s TTFI observed)
+        benchkit.stall_watchdog(
+            lambda: progress[0], timeout_s=2700.0, label="bench-xl")
 
     bundle = make_random_bundle(
         config=sdxl_config(),

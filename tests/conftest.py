@@ -17,14 +17,22 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-# tests that drive the CLI in-process hit enable_compilation_cache(); keep
-# their CPU executables out of the TPU benches' persistent cache (listing
-# diffs there are the benches' warm/cold proof)
-os.environ.setdefault("LECO_TPU_CACHE", "0")
+# Tests get their OWN persistent compilation cache, separate from the TPU
+# benches' ~/.cache/leco_tpu_xla (listing diffs there are the benches'
+# warm/cold proof, so CPU executables must not land in it). A shared dir —
+# rather than LECO_TPU_CACHE=0 — lets identical step programs compile once:
+# the resume test's second train() call, the NaN-guard test, and repeat
+# suite runs all load instead of recompiling (~60-100 s per step compile
+# on the CPU mesh).
+os.environ.setdefault("LECO_TPU_CACHE", os.path.expanduser("~/.cache/leco_tpu_xla_cputests"))
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+from leco_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 
 import pytest  # noqa: E402
 

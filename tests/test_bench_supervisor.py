@@ -88,3 +88,56 @@ class TestHistory:
         benchkit.append_history({"v": 1}, str(tmp_path))
         err = capsys.readouterr().err
         assert "WARNING" in err and "bench history" in err
+
+
+class TestStallWatchdog:
+    """A frozen child must exit rc=3 so supervise() can retry (observed:
+    batch-2 full runs stalled mid-loop with the process alive — the
+    supervisor only sees exits, so a hang blocked the protocol forever)."""
+
+    def _run(self, body):
+        import subprocess
+
+        return subprocess.run(
+            [sys.executable, "-c", body],
+            capture_output=True, text=True, timeout=30,
+            env={**os.environ, "PYTHONPATH": os.path.dirname(
+                os.path.dirname(__file__))},
+        )
+
+    def test_stalled_progress_aborts_rc3(self):
+        r = self._run(
+            "import time\n"
+            "from leco_tpu.utils import benchkit\n"
+            "stamp = [time.perf_counter()]\n"
+            "benchkit.stall_watchdog(lambda: stamp[0], timeout_s=0.3,\n"
+            "                        first_timeout_s=60, label='t')\n"
+            "time.sleep(20)\n"
+        )
+        assert r.returncode == 3
+        assert "no progress" in r.stdout
+
+    def test_no_first_event_aborts_rc3(self):
+        r = self._run(
+            "import time\n"
+            "from leco_tpu.utils import benchkit\n"
+            "benchkit.stall_watchdog(lambda: None, timeout_s=60,\n"
+            "                        first_timeout_s=0.3, label='t')\n"
+            "time.sleep(20)\n"
+        )
+        assert r.returncode == 3
+        assert "no first progress" in r.stdout
+
+    def test_advancing_progress_survives(self):
+        r = self._run(
+            "import time\n"
+            "from leco_tpu.utils import benchkit\n"
+            "stamp = [time.perf_counter()]\n"
+            "benchkit.stall_watchdog(lambda: stamp[0], timeout_s=0.5,\n"
+            "                        first_timeout_s=60, label='t')\n"
+            "for _ in range(8):\n"
+            "    time.sleep(0.2); stamp[0] = time.perf_counter()\n"
+            "print('survived')\n"
+        )
+        assert r.returncode == 0
+        assert "survived" in r.stdout

@@ -258,7 +258,9 @@ class TestGradientFlow:
             )
             return jnp.mean(out.astype(jnp.float32) ** 2)
 
-        grads = jax.grad(loss_fn)(lora)
+        # jit: one compiled backward instead of op-by-op eager dispatch
+        # (~85 s -> seconds on the CPU mesh)
+        grads = jax.jit(jax.grad(loss_fn))(lora)
         flat = flatten_dict(grads)
         assert len(flat) > 0
         # down grads are zero at init (up == 0 blocks the path), up grads not
@@ -295,8 +297,10 @@ class TestGradientFlow:
                 )
             return jnp.mean(out.astype(jnp.float32) ** 2)
 
-        g_ride = jax.grad(lambda p: loss_fn(p, False))(lora)
-        g_susp = jax.grad(lambda p: loss_fn(p, True))(lora)
+        # suspend toggles a Python-level context read at trace time, so it
+        # must stay a static (non-traced) argument of two separate jits
+        g_ride = jax.jit(jax.grad(lambda p: loss_fn(p, False)))(lora)
+        g_susp = jax.jit(jax.grad(lambda p: loss_fn(p, True)))(lora)
         for k in flatten_dict(g_ride):
             np.testing.assert_allclose(
                 np.asarray(flatten_dict(g_ride)[k]),

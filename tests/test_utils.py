@@ -28,7 +28,11 @@ class TestNaNGuard:
         config = RootConfig(
             prompts_file="u.yaml",
             pretrained_model=PretrainedModelConfig(name_or_path="r://t"),
-            network=NetworkConfig(rank=2),
+            # rank 4 matches test_checkpoint's resume recipe so both share
+            # one persistent-cache step entry (the iteration count and the
+            # denoise bound are host-side / traced and don't change the
+            # compiled program)
+            network=NetworkConfig(rank=4),
             train=TrainConfig(
                 iterations=2, max_denoising_steps=2, seed=0, precision="float32"
             ),
