@@ -78,6 +78,19 @@ def folded_case(h, cin, cout, dtype=jnp.bfloat16):
     return bench_fn(conv, x)
 
 
+SDXL_CASES = [
+    # SDXL @1024px batch-2 resnet conv shapes (levels 128/64/32; no 8x8)
+    (128, 320, 320),
+    (128, 640, 320),
+    (128, 960, 320),
+    (64, 640, 640),
+    (64, 960, 640),
+    (64, 1280, 640),
+    (32, 1280, 1280),
+    (32, 1920, 1280),
+    (32, 2560, 1280),
+]
+
 CASES = [
     # (spatial, cin, cout) — SD1.5 @512px batch-2 resnet conv shapes
     (64, 320, 320),
@@ -96,7 +109,8 @@ CASES = [
 
 def main():
     dev = jax.devices()[0]
-    print(f"platform={dev.platform} device={dev}", flush=True)
+    cases = SDXL_CASES if "--xl" in sys.argv else CASES
+    print(f"platform={dev.platform} device={dev} cases={'xl' if cases is SDXL_CASES else 'sd'}", flush=True)
     # correctness pin once (CPU-exact check is in tests; this guards the chip)
     h, cin, cout = 16, 64, 64
     k = jax.random.normal(jax.random.PRNGKey(1), (3, 3, cin, cout), jnp.float32)
@@ -113,7 +127,7 @@ def main():
 
     tot_a = tot_b = 0.0
     print(f"{'shape':>22} {'plain ms':>9} {'folded ms':>10} {'fold/plain':>10}")
-    for h, cin, cout in CASES:
+    for h, cin, cout in cases:
         ta = plain_case(h, cin, cout) * 1e3
         tb = folded_case(h, cin, cout) * 1e3
         tot_a += ta
