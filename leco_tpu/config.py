@@ -83,6 +83,16 @@ class SaveConfig(_Section):
     path: str = "./output"
     per_steps: int = 200
     precision: PRECISION_TYPES = "float32"
+    # leco-tpu extension: write periodic .safetensors from a background
+    # thread instead of inline in the host loop. The reference saves inline
+    # (train_lora.py:292-302), which on a tunneled TPU stalls the dispatch
+    # pipeline ~9 s per save (the fetch at iteration i must wait for every
+    # in-flight step; BENCH_FULL_r04 per-100-iter windows). The trainer
+    # snapshots the tree on-device first (the train step DONATES the lora
+    # buffers), so the written bytes are identical either way — only the
+    # timing changes. The final save is always synchronous after all
+    # writers join, so train() returns with every file durable.
+    async_write: bool = True
 
 
 class LoggingConfig(_Section):

@@ -600,7 +600,12 @@ def export_lora_state(
         layers.setdefault(k[:-1], {})[k[-1]] = np.asarray(v)
 
     state: dict[str, np.ndarray] = {}
-    for path, tensors in layers.items():
+    # sorted: the export must not depend on tree insertion order (a jitted
+    # tree round-trip — e.g. the async-save snapshot or the EMA lerp —
+    # returns dicts with sorted keys, and the file bytes should be
+    # identical either way; same determinism lesson as the round-3
+    # fold_lora_params cache-key fix)
+    for path, tensors in sorted(layers.items()):
         name = LORA_PREFIX_UNET + "_" + "_".join(path)
         down = tensors["lora_down"]
         up = tensors["lora_up"]

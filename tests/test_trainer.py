@@ -144,6 +144,42 @@ class TestEndToEnd:
             assert a["timesteps_to"] == b["timesteps_to"]
             assert a["resolution"] == b["resolution"]
 
+    def test_async_saves_match_inline_saves(self, tmp_path):
+        """save.async_write (default on) must be a pure timing change: the
+        background writer snapshots the tree on-device BEFORE the next step
+        donates the lora buffers, so every periodic file must be
+        byte-identical to a run with inline (reference-semantics) saves,
+        and all files must be durable when train() returns."""
+
+        def run(async_write, sub):
+            d = tmp_path / sub
+            d.mkdir()
+            bundle = make_random_bundle()
+            config = tiny_config(d, iterations=7, ema_decay=0.5)
+            config.save.per_steps = 2  # periodic saves at i=2 and i=4
+            config.save.async_write = async_write
+            result = train(config, tiny_prompts(), bundle)
+            return d, result
+
+        d_async, r_async = run(True, "bg")
+        d_sync, r_sync = run(False, "inline")
+        names = sorted(p.name for p in r_async["saved"])
+        assert names == sorted(p.name for p in r_sync["saved"])
+        # periodic + ema + last + last_ema all landed
+        assert "tiny_2steps.safetensors" in names
+        assert "tiny_4steps_ema.safetensors" in names
+        # tensor-exact equality (raw bytes differ only in the embedded
+        # config metadata, which records each run's own save.path/knob)
+        from safetensors.numpy import load_file
+
+        for n in names:
+            a, b = load_file(d_async / n), load_file(d_sync / n)
+            assert sorted(a) == sorted(b), f"{n} key sets differ"
+            for k in a:
+                assert a[k].dtype == b[k].dtype and np.array_equal(
+                    a[k], b[k]
+                ), f"{n}:{k} differs between async and inline saves"
+
 
 class TestPackBuilding:
     def test_pack_shapes(self):
