@@ -71,6 +71,17 @@ class TrainConfig(_Section):
     # `*_ema.safetensors` next to the raw weights; EMA state rides along in
     # full-state snapshots and resumes. Typical values 0.99-0.9999.
     ema_decay: float = 0.0
+    # device-side step chunking: jit `step_chunk` consecutive train steps as
+    # ONE program (a lax.scan over the step body), so the host dispatches —
+    # and pays tunnel round-trips for — one call per chunk instead of per
+    # iteration. 1 (default) reproduces the reference's per-step host loop
+    # exactly. The RNG stream, losses, metrics labels, and save cadence are
+    # identical at any chunk size (the key splits ride inside the scan in
+    # the same order; chunks never cross a save boundary). Chunks form only
+    # over runs of iterations with the same prompt pair and resolution, so
+    # multi-pair and dynamic-resolution configs degrade gracefully to
+    # per-step dispatch. Typical value for tunneled TPUs: 8.
+    step_chunk: int = 1
     tensor_parallel: int = 1  # tp axis size (Megatron-style transformer TP)
     # sp axis size: shard the latent H dim so batch-1 recipes scale across a
     # slice (GSPMD halo-exchanges the convs, reduces GroupNorm stats). 0 =

@@ -85,24 +85,15 @@ class ModelBundle:
         self.encode_fn = None
 
 
-def make_train_step(
+def _make_step_body(
     bundle: ModelBundle,
     optimizer: optax.GradientTransformation,
     max_denoising_steps: int,
     mesh: Optional[Mesh] = None,
     inner_guidance_scale: float = 3.0,  # hardcoded in the ref, train_lora.py:192
 ):
-    """Build the jitted train step.
-
-    Returns step(base, lora, opt_state, key, pack, guidance_scale,
-    erase_sign, timesteps_to, *, height, width, shard_batch) ->
-    (lora, opt_state, loss)
-
-    `pack` is a dict of embedding batches built by `build_pack`:
-      inner_embeds (2B, 77, d), ref_embeds (3B, 77, d), target_embeds
-      (B, 77, d); for XL additionally inner_added / ref_added / target_added
-      dicts of {"text_embeds", "time_ids"}.
-    """
+    """Build the UN-jitted single-iteration body shared by make_train_step
+    (jit per step) and make_train_multistep (lax.scan over K steps)."""
     unet = bundle.unet
     scheduler = bundle.scheduler
     state_n = scheduler.set_timesteps(max_denoising_steps)
@@ -112,11 +103,6 @@ def make_train_step(
     def apply_unet(params, sample, t, ctx, added):
         return unet.apply({"params": params}, sample, t, ctx, added)
 
-    @functools.partial(
-        jax.jit,
-        static_argnames=("height", "width", "shard_batch", "shard_internal"),
-        donate_argnames=("lora", "opt_state"),
-    )
     def step(
         base,
         lora,
@@ -213,6 +199,132 @@ def make_train_step(
         return lora, opt_state, loss
 
     return step
+
+
+def make_train_step(
+    bundle: ModelBundle,
+    optimizer: optax.GradientTransformation,
+    max_denoising_steps: int,
+    mesh: Optional[Mesh] = None,
+    inner_guidance_scale: float = 3.0,
+):
+    """Build the jitted train step.
+
+    Returns step(base, lora, opt_state, key, pack, guidance_scale,
+    erase_sign, timesteps_to, *, height, width, shard_batch) ->
+    (lora, opt_state, loss)
+
+    `pack` is a dict of embedding batches built by `build_pack`:
+      inner_embeds (2B, 77, d), ref_embeds (3B, 77, d), target_embeds
+      (B, 77, d); for XL additionally inner_added / ref_added / target_added
+      dicts of {"text_embeds", "time_ids"}.
+    """
+    body = _make_step_body(
+        bundle, optimizer, max_denoising_steps, mesh, inner_guidance_scale
+    )
+    return jax.jit(
+        body,
+        static_argnames=("height", "width", "shard_batch", "shard_internal"),
+        donate_argnames=("lora", "opt_state"),
+    )
+
+
+def make_train_multistep(
+    bundle: ModelBundle,
+    optimizer: optax.GradientTransformation,
+    max_denoising_steps: int,
+    mesh: Optional[Mesh] = None,
+    inner_guidance_scale: float = 3.0,
+):
+    """Build the jitted K-step train chunk (train.step_chunk > 1).
+
+    One device program runs K consecutive iterations as a `lax.scan` over
+    the single-step body: the host dispatches once per chunk instead of
+    once per step, so per-iteration host work (python, RPC issue, tunnel
+    round-trips) amortizes K-fold. K is implicit in the shape of
+    `timesteps_to_seq` — one compilation per distinct K.
+
+    Semantics are identical to K sequential make_train_step calls:
+      * the PRNG key is carried through the scan and split once per step in
+        the same order the host loop splits it, so the noise/timestep
+        streams match the unchunked path bit-for-bit;
+      * the EMA update (when `with_ema`) applies after each step inside the
+        scan, exactly like the host-side per-step lerp;
+      * pack / guidance / sign are chunk-constant (the host only forms
+        chunks over runs of iterations with the same prompt pair and
+        resolution — see train()).
+
+    Returns multistep(base, lora, opt_state, ema, key, pack,
+    guidance_scale, erase_sign, timesteps_to_seq, ema_decay, *, height,
+    width, shard_batch, shard_internal, with_ema) ->
+    (lora, opt_state, ema, key, losses[K]).
+    Pass ema=() (an empty pytree) when with_ema is False.
+    """
+    body = _make_step_body(
+        bundle, optimizer, max_denoising_steps, mesh, inner_guidance_scale
+    )
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "height",
+            "width",
+            "shard_batch",
+            "shard_internal",
+            "with_ema",
+        ),
+        donate_argnames=("lora", "opt_state", "ema", "key"),
+    )
+    def multistep(
+        base,
+        lora,
+        opt_state,
+        ema,
+        key,
+        pack,
+        guidance_scale,
+        erase_sign,
+        timesteps_to_seq,
+        ema_decay,
+        *,
+        height: int,
+        width: int,
+        shard_batch: bool,
+        shard_internal: bool = False,
+        with_ema: bool = False,
+    ):
+        def scan_body(carry, timesteps_to):
+            lora, opt_state, ema, key = carry
+            key, sub = jax.random.split(key)
+            lora, opt_state, loss = body(
+                base,
+                lora,
+                opt_state,
+                sub,
+                pack,
+                guidance_scale,
+                erase_sign,
+                timesteps_to,
+                height=height,
+                width=width,
+                shard_batch=shard_batch,
+                shard_internal=shard_internal,
+            )
+            if with_ema:
+                ema = jax.tree.map(
+                    lambda a, b: a * ema_decay
+                    + b.astype(a.dtype) * (1.0 - ema_decay),
+                    ema,
+                    lora,
+                )
+            return (lora, opt_state, ema, key), loss
+
+        (lora, opt_state, ema, key), losses = jax.lax.scan(
+            scan_body, (lora, opt_state, ema, key), timesteps_to_seq
+        )
+        return lora, opt_state, ema, key, losses
+
+    return multistep
 
 
 def build_pack(pair: PromptEmbedsPair, is_xl: bool, height: int, width: int,
@@ -445,10 +557,40 @@ def train(
     step_fn = make_train_step(
         bundle, optimizer, config.train.max_denoising_steps, mesh=mesh
     )
+    # device-side step chunking (train.step_chunk, default 1 = off): scan
+    # K steps in one jitted call so the host dispatches once per chunk.
+    # Only exactly-K chunks use the scan program (one extra compile);
+    # boundary/remainder iterations run through step_fn, whose compiled
+    # program is shared with unchunked runs.
+    chunk = max(1, int(config.train.step_chunk))
+    multistep_fn = None
+    if chunk > 1:
+        multistep_fn = make_train_multistep(
+            bundle, optimizer, config.train.max_denoising_steps, mesh=mesh
+        )
 
     pack_cache: dict = {}
+    # device-scalar cache: jnp.float32(...)/jnp.int32(...) per iteration is
+    # a fresh host->device transfer (one small RPC each on a tunneled TPU,
+    # x3 per step). Every value is drawn from a tiny finite set — per-pair
+    # guidance/sign constants and timesteps_to in [1, max_denoising_steps)
+    # — so transfer each exactly once. The step never donates these.
+    scalar_cache: dict = {}
+
+    def dev_scalar(dtype, v):
+        k = (dtype, v)
+        a = scalar_cache.get(k)
+        if a is None:
+            a = scalar_cache[k] = dtype(v)
+        return a
+
     losses: list[float] = []
-    pending_losses: list = []
+    # pending loss groups awaiting their device->host fetch. Each group is
+    # (metas, losses_dev): metas a list of (iteration, timesteps_to, h, w)
+    # and losses_dev the step's scalar loss (single path) or the chunk's
+    # (K,) loss vector (multistep path). Groups drain strictly in order, so
+    # metrics.jsonl stays iteration-ordered however the two paths interleave.
+    pending_groups: list = []
     saved: list[Path] = []
     save_path.mkdir(parents=True, exist_ok=True)
     metrics_file = open(save_path / "metrics.jsonl", "a")
@@ -487,46 +629,85 @@ def train(
     try:
         from tqdm import tqdm
 
-        pbar = tqdm(range(start_iteration, config.train.iterations))
+        pbar = tqdm(
+            total=config.train.iterations, initial=start_iteration
+        )
     except ImportError:  # pragma: no cover
-        pbar = range(start_iteration, config.train.iterations)
+        pbar = None
 
-    def drain(batch: list) -> None:
-        """Materialize a batch of pending losses in ONE device->host
-        transfer (per-item float() costs a tunnel round-trip each), then
-        log every record with its own iteration's sampled metadata."""
-        vals = jax.device_get([p[1] for p in batch])
-        for (j, _, j_tsto, j_h, j_w), loss_val in zip(batch, vals):
-            loss_val = float(loss_val)
-            if not np.isfinite(loss_val):
-                # failure detection the reference lacks (SURVEY.md 5.3):
-                # stop before writing a corrupted checkpoint over a good
-                # one; flush the metrics file so the evidence reaches disk
-                metrics_file.close()
-                raise FloatingPointError(
-                    f"non-finite loss {loss_val} at iteration {j}; aborting "
-                    "(last good LoRA weights are in the previous periodic "
-                    "save)"
-                )
-            losses.append(loss_val)
-            if hasattr(pbar, "set_description"):
-                pbar.set_description(f"Loss*1k: {loss_val * 1000:.4f}")
-            record = {
-                "loss": loss_val,
-                "iteration": j,
-                "lr": lr_at(j),
-                "timesteps_to": j_tsto,
-                "resolution": [j_h, j_w],
-            }
-            metrics_file.write(json.dumps(record) + "\n")
-            if wandb_run is not None:
-                wandb_run.log(
-                    {"loss": loss_val, "iteration": j, "lr": lr_at(j)}
-                )
-            if on_step is not None:
-                on_step(j, loss_val)
+    def emit(j: int, loss_val: float, j_tsto: int, j_h: int, j_w: int):
+        """Log one drained loss with its own iteration's sampled metadata."""
+        if not np.isfinite(loss_val):
+            # failure detection the reference lacks (SURVEY.md 5.3):
+            # stop before writing a corrupted checkpoint over a good
+            # one; flush the metrics file so the evidence reaches disk
+            metrics_file.close()
+            raise FloatingPointError(
+                f"non-finite loss {loss_val} at iteration {j}; aborting "
+                "(last good LoRA weights are in the previous periodic "
+                "save)"
+            )
+        losses.append(loss_val)
+        if pbar is not None:
+            pbar.set_description(f"Loss*1k: {loss_val * 1000:.4f}")
+        record = {
+            "loss": loss_val,
+            "iteration": j,
+            "lr": lr_at(j),
+            "timesteps_to": j_tsto,
+            "resolution": [j_h, j_w],
+        }
+        metrics_file.write(json.dumps(record) + "\n")
+        if wandb_run is not None:
+            wandb_run.log({"loss": loss_val, "iteration": j, "lr": lr_at(j)})
+        if on_step is not None:
+            on_step(j, loss_val)
 
-    for i in pbar:
+    def drain_groups(groups: list) -> None:
+        """Materialize a batch of pending loss groups in ONE device->host
+        transfer (per-item float() costs a tunnel round-trip each)."""
+        vals = jax.device_get([g[1] for g in groups])
+        for (metas, _), arr in zip(groups, vals):
+            arr = np.atleast_1d(np.asarray(arr))
+            for (j, j_tsto, j_h, j_w), v in zip(metas, arr):
+                emit(j, float(v), j_tsto, j_h, j_w)
+
+    def maybe_drain() -> None:
+        # async loss drain: with logging.interval > 1 the host keeps
+        # dispatching while earlier losses are still in flight; each
+        # pending group carries its iterations' sampled metadata so the
+        # drained records are labeled correctly however late they land.
+        # interval == 1 fetches after every dispatch (the reference's
+        # per-step display; with chunking, per-chunk — the finest possible);
+        # interval > 1 batch-fetches the oldest `interval` iterations once
+        # 2*interval are pending, so `interval` iterations always stay in
+        # flight (draining to empty would stall the dispatch pipeline)
+        interval = max(1, config.logging.interval)
+        if interval == 1:
+            batch = pending_groups[:]
+            pending_groups.clear()
+            drain_groups(batch)
+            return
+        if sum(len(g[0]) for g in pending_groups) >= 2 * interval:
+            n = cut = 0
+            for g in pending_groups:
+                if n >= interval:
+                    break
+                n += len(g[0])
+                cut += 1
+            batch = pending_groups[:cut]
+            del pending_groups[:cut]
+            drain_groups(batch)
+
+    def sample_iteration():
+        """Draw one iteration's (pair, timesteps_to, resolution, pack) in
+        the reference's sampling order (train_lora.py:141-176). Chunk
+        formation looks ahead through this, so the host RNG stream is
+        identical at every step_chunk setting."""
+        # pre-draw rng state: if this sample is still buffered (lookahead
+        # overshoot) when a checkpoint fires, the snapshot must store the
+        # state from BEFORE its draws so resume replays it identically
+        rng_state = dict(rng.bit_generator.state)
         pair = pairs[int(rng.integers(0, len(pairs)))]
         timesteps_to = int(
             rng.integers(1, config.train.max_denoising_steps)
@@ -546,18 +727,64 @@ def train(
                 print("bucketed resolution:", (height, width))
             print("batch_size:", pair.batch_size)
 
-        # XL dynamic_crops re-rolls time_ids every iteration; cache otherwise
-        cache_key = (id(pair), height, width)
+        # XL dynamic_crops re-rolls time_ids every iteration (fresh pack,
+        # never chunkable); cache otherwise
         if bundle.is_xl and pair.dynamic_crops:
             pack = build_pack(pair, bundle.is_xl, height, width, rng=rng)
-        elif cache_key in pack_cache:
-            pack = pack_cache[cache_key]
+            chunkable = False
         else:
-            pack = pack_cache[cache_key] = build_pack(
-                pair, bundle.is_xl, height, width
+            cache_key = (id(pair), height, width)
+            pack = pack_cache.get(cache_key)
+            if pack is None:
+                pack = pack_cache[cache_key] = build_pack(
+                    pair, bundle.is_xl, height, width
+                )
+            chunkable = True
+        return (pair, timesteps_to, height, width, pack, chunkable, rng_state)
+
+    iterations = config.train.iterations
+    per_steps = config.save.per_steps
+    meta_buf: list = []  # lookahead-sampled iterations awaiting execution
+    i = start_iteration
+    while i < iterations:
+        if not meta_buf:
+            meta_buf.append(sample_iteration())
+        first = meta_buf[0]
+
+        # a save observes the tree after iteration j (j % per_steps == 0,
+        # j != 0), so a chunk starting at i may extend at most through that
+        # j inclusive; never past the final iteration
+        if per_steps > 0:
+            stop = (
+                i
+                if (i % per_steps == 0 and i != 0)
+                else ((i // per_steps) + 1) * per_steps
+            )
+            limit = min(chunk, stop + 1 - i, iterations - i)
+        else:
+            limit = min(chunk, iterations - i)
+
+        # grow the lookahead while the sampled iterations match the chunk
+        # head (same pair => same pack/guidance/sign/batch; same static
+        # shapes). A mismatched draw stays buffered for the next chunk.
+        def _matches(m):
+            return (
+                m[5]
+                and m[0] is first[0]
+                and m[2] == first[2]
+                and m[3] == first[3]
             )
 
-        key, sub = jax.random.split(key)
+        if multistep_fn is not None and first[5]:
+            while len(meta_buf) < limit and _matches(meta_buf[-1]):
+                meta_buf.append(sample_iteration())
+        n = 1
+        while n < min(len(meta_buf), limit) and _matches(meta_buf[n]):
+            n += 1
+
+        pair = first[0]
+        height, width = first[2], first[3]
+        pack = first[4]
         shard = mesh_lib.shardable_batch(pair.batch_size, mesh)
         # batch-1 multi-chip: when the logical batch cannot shard, shard the
         # internal 2B/3B packs over dp and the latent H over sp instead
@@ -569,72 +796,116 @@ def train(
                 or mesh_lib.axis_size(mesh, mesh_lib.SP_AXIS) > 1
             )
         )
-        lora, opt_state, loss = step_fn(
-            base,
-            lora,
-            opt_state,
-            sub,
-            pack,
-            jnp.float32(pair.guidance_scale),
-            jnp.float32(pair.erase_sign),
-            jnp.int32(timesteps_to),
-            height=height,
-            width=width,
-            shard_batch=shard,
-            shard_internal=shard_internal,
-        )
-        if ema is not None:
-            ema = ema_update(ema, lora)
+        gs = dev_scalar(jnp.float32, pair.guidance_scale)
+        sign = dev_scalar(jnp.float32, pair.erase_sign)
 
-        # async loss drain: with logging.interval > 1 the host keeps
-        # dispatching steps while earlier losses are still in flight; each
-        # pending entry carries its own iteration's sampled metadata so the
-        # drained record is labeled correctly however late it lands.
-        # interval == 1 reproduces the reference's per-step fetch exactly;
-        # interval > 1 batch-fetches the oldest `interval` losses once
-        # 2*interval are pending, so `interval` steps always stay in flight
-        # (draining to empty would stall the dispatch pipeline each window)
-        pending_losses.append((i, loss, timesteps_to, height, width))
-        interval = max(1, config.logging.interval)
-        if interval == 1:
-            drain([pending_losses.pop(0)])
-        elif len(pending_losses) >= 2 * interval:
-            batch = pending_losses[:interval]
-            del pending_losses[:interval]
-            drain(batch)
+        if multistep_fn is not None and n == chunk:
+            # exactly-K chunk -> one device program runs all K steps; the
+            # PRNG key advances inside the scan in host-split order
+            metas = meta_buf[:chunk]
+            del meta_buf[:chunk]
+            tsto_seq = jnp.asarray(
+                [m[1] for m in metas], dtype=jnp.int32
+            )
+            lora, opt_state, ema_out, key, loss_arr = multistep_fn(
+                base,
+                lora,
+                opt_state,
+                ema if ema is not None else (),
+                key,
+                pack,
+                gs,
+                sign,
+                tsto_seq,
+                dev_scalar(jnp.float32, ema_decay),
+                height=height,
+                width=width,
+                shard_batch=shard,
+                shard_internal=shard_internal,
+                with_ema=ema is not None,
+            )
+            if ema is not None:
+                ema = ema_out
+            pending_groups.append(
+                (
+                    [
+                        (i + k, m[1], m[2], m[3])
+                        for k, m in enumerate(metas)
+                    ],
+                    loss_arr,
+                )
+            )
+            executed = chunk
+        else:
+            m = meta_buf.pop(0)
+            key, sub = jax.random.split(key)
+            lora, opt_state, loss = step_fn(
+                base,
+                lora,
+                opt_state,
+                sub,
+                pack,
+                gs,
+                sign,
+                dev_scalar(jnp.int32, m[1]),
+                height=height,
+                width=width,
+                shard_batch=shard,
+                shard_internal=shard_internal,
+            )
+            if ema is not None:
+                ema = ema_update(ema, lora)
+            pending_groups.append(([(i, m[1], m[2], m[3])], loss))
+            executed = 1
 
-        # periodic save (train_lora.py:292-302)
+        i += executed
+        if pbar is not None:
+            pbar.update(executed)
+        maybe_drain()
+
+        # periodic save (train_lora.py:292-302); chunks never cross a save
+        # boundary, so `last` lands exactly on the cadence
+        last = i - 1
         if (
-            i % config.save.per_steps == 0
-            and i != 0
-            and i != config.train.iterations - 1
+            last % config.save.per_steps == 0
+            and last != 0
+            and last != config.train.iterations - 1
         ):
             print("Saving...")
             save_path.mkdir(parents=True, exist_ok=True)
-            p = save_path / f"{config.save.name}_{i}steps.safetensors"
+            p = save_path / f"{config.save.name}_{last}steps.safetensors"
             submit_save(p, lora)
             if ema is not None:
-                pe = save_path / f"{config.save.name}_{i}steps_ema.safetensors"
+                pe = save_path / f"{config.save.name}_{last}steps_ema.safetensors"
                 submit_save(pe, ema)
             if config.train.save_state:
                 from leco_tpu.train import checkpoint as ckpt
 
+                # un-consumed lookahead draws must replay after resume:
+                # snapshot the rng state from before the oldest buffered
+                # sample (the live rng has already advanced past it)
+                ckpt_rng = rng
+                if meta_buf:
+                    ckpt_rng = np.random.default_rng()
+                    ckpt_rng.bit_generator.state = meta_buf[0][6]
                 ckpt.save_train_state(
                     state_dir,
                     lora=lora,
                     opt_state=opt_state,
-                    iteration=i,
+                    iteration=last,
                     key=key,
-                    rng=rng,
+                    rng=ckpt_rng,
                     ema=ema,
                 )
 
     # drain any in-flight losses (tail records reach metrics.jsonl too);
     # a NaN here must still abort BEFORE the final save below overwrites
-    # the last good weights (drain() raises)
-    if pending_losses:
-        drain(pending_losses)
-    pending_losses.clear()
+    # the last good weights (emit() raises)
+    if pending_groups:
+        drain_groups(pending_groups)
+    pending_groups.clear()
+    if pbar is not None:
+        pbar.close()
 
     # every periodic writer must land (and any failure surface) before the
     # final save, so train() returns with all of `saved` durable on disk

@@ -26,6 +26,8 @@ retry on tunnel flap, cold -> warm rerun so the official record is warm):
   LECO_FULL_BATCH      logical batch size (default 1 — the bench lineage;
                        the reference prompts.yaml ships batch_size 2)
   LECO_FULL_ITERS      iteration count (default 500)
+  LECO_FULL_CHUNK      train.step_chunk — scan K steps per dispatch
+                       (default 8; 1 = the reference per-step host loop)
 """
 
 import json
@@ -64,14 +66,24 @@ class _CompileCounter(logging.Handler):
         return any("'jit_step'" in m or "'jit_step-" in m
                    for m in self.cache_hits)
 
-    def step_compile_or_load_s(self) -> float | None:
+    def multistep_cache_hit(self) -> bool:
+        return any("'jit_multistep'" in m or "'jit_multistep-" in m
+                   for m in self.cache_hits)
+
+    def _compile_s(self, name: str) -> float | None:
         import re
 
         for m in self.compiles:
-            g = re.search(r"jit\(step\) in ([\d.]+) sec", m)
+            g = re.search(rf"jit\({name}\) in ([\d.]+) sec", m)
             if g:
                 return round(float(g.group(1)), 1)
         return None
+
+    def step_compile_or_load_s(self) -> float | None:
+        return self._compile_s("step")
+
+    def multistep_compile_or_load_s(self) -> float | None:
+        return self._compile_s("multistep")
 
 
 def main():
@@ -124,6 +136,10 @@ def main():
 
     batch = int(os.environ.get("LECO_FULL_BATCH", "1"))
     iterations = int(os.environ.get("LECO_FULL_ITERS", "500"))
+    # device-side step chunking (train.step_chunk): one dispatch per K
+    # steps. Like logging.interval, the bench opts in EXPLICITLY — the
+    # product default (1) is the reference-faithful per-step loop.
+    step_chunk = int(os.environ.get("LECO_FULL_CHUNK", "8"))
     # LECO_FULL_TINY=1: 8-channel test UNet at 64 px — validates this
     # script's instrumentation end-to-end on CPU without chip time
     tiny = os.environ.get("LECO_FULL_TINY", "0") == "1"
@@ -158,6 +174,7 @@ def main():
                 "lr_scheduler": "constant",
                 "max_denoising_steps": 50,
                 "seed": 0,
+                "step_chunk": step_chunk,
             },
             "save": {"name": "van_gogh", "path": out_dir, "per_steps": 200,
                      "precision": "bfloat16"},
@@ -211,9 +228,13 @@ def main():
     train_s = t_end - t_train0
 
     cache_new = sorted(benchkit.cache_listing() - cache_before)
-    # warm/cold judged on the STEP program via the compile log (see
-    # _CompileCounter); the listing diff is recorded for completeness
-    cache_hit = counter.step_cache_hit()
+    # warm/cold judged on the hot program via the compile log (see
+    # _CompileCounter); with chunking that is jit(multistep) — the
+    # boundary/tail iterations' jit(step) must be warm too for an honest
+    # "warm" record. The listing diff is recorded for completeness.
+    cache_hit = counter.step_cache_hit() and (
+        step_chunk <= 1 or counter.multistep_cache_hit()
+    )
 
     # per-100-iteration throughput from the drained-loss timestamps (the
     # drain lags dispatch by logging.interval, identical at both window
@@ -256,6 +277,7 @@ def main():
         "platform": platform,
         "iterations": iterations,
         "batch": batch,
+        "step_chunk": step_chunk,
         "train_loop_s": round(train_s, 1),
         "device_init_s": round(t_devices, 1),
         "bundle_build_s": round(t_built, 1),
@@ -264,7 +286,11 @@ def main():
         "per_100_iter_its_per_sec": per100,
         "xla_compiles": len(counter.compiles),
         "xla_compiles_step": sum("jit(step)" in m for m in counter.compiles),
+        "xla_compiles_multistep": sum(
+            "jit(multistep)" in m for m in counter.compiles
+        ),
         "step_compile_or_load_s": counter.step_compile_or_load_s(),
+        "multistep_compile_or_load_s": counter.multistep_compile_or_load_s(),
         "persistent_cache_hits": len(counter.cache_hits),
         "cache_hit": cache_hit,
         "cache_entries_written": len(cache_new),
@@ -286,10 +312,15 @@ def main():
         )
     print(json.dumps(record))
     benchkit.write_status(cache_hit, ttfi)
-    benchkit.append_history(
-        record,
-        os.path.join(os.path.dirname(__file__), "..", "bench_history.jsonl"),
-    )
+    # tiny/CPU smoke runs validate the instrumentation, they are not
+    # measurements — keep them out of the cross-round history
+    if platform == "tpu" and not tiny:
+        benchkit.append_history(
+            record,
+            os.path.join(
+                os.path.dirname(__file__), "..", "bench_history.jsonl"
+            ),
+        )
 
 
 if __name__ == "__main__":
