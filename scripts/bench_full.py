@@ -228,12 +228,22 @@ def main():
     train_s = t_end - t_train0
 
     cache_new = sorted(benchkit.cache_listing() - cache_before)
-    # warm/cold judged on the hot program via the compile log (see
-    # _CompileCounter); with chunking that is jit(multistep) — the
-    # boundary/tail iterations' jit(step) must be warm too for an honest
-    # "warm" record. The listing diff is recorded for completeness.
-    cache_hit = counter.step_cache_hit() and (
-        step_chunk <= 1 or counter.multistep_cache_hit()
+    # warm/cold judged on the hot programs via the compile log (see
+    # _CompileCounter): every hot program this run actually USED must have
+    # loaded from the persistent cache. With chunking the scan program is
+    # the hot one and jit(step) covers boundary/tail iterations — but a
+    # short/chunk-aligned run may never touch jit(step) at all (no compile
+    # AND no hit), in which case it cannot count against warmth. At least
+    # one program must have hit, else an empty log would read as "warm".
+    # The listing diff is recorded for completeness.
+    def _warm(name: str, hit: bool) -> bool:
+        used = hit or any(f"jit({name})" in m for m in counter.compiles)
+        return hit or not used
+
+    cache_hit = (
+        _warm("step", counter.step_cache_hit())
+        and _warm("multistep", counter.multistep_cache_hit())
+        and (counter.step_cache_hit() or counter.multistep_cache_hit())
     )
 
     # per-100-iteration throughput from the drained-loss timestamps (the
