@@ -75,9 +75,13 @@ class TrainConfig(_Section):
     # ONE program (a lax.scan over the step body), so the host dispatches —
     # and pays tunnel round-trips for — one call per chunk instead of per
     # iteration. 1 (default) reproduces the reference's per-step host loop
-    # exactly. The RNG stream, losses, metrics labels, and save cadence are
-    # identical at any chunk size (the key splits ride inside the scan in
-    # the same order; chunks never cross a save boundary). Chunks form only
+    # exactly. The RNG streams, update math (incl. the EMA lerp
+    # coefficients), metrics labels, and save cadence are identical at any
+    # chunk size (the key splits ride inside the scan in the same order;
+    # chunks never cross a save boundary); numerics agree to XLA program-
+    # boundary rounding (the scan body and the standalone step compile
+    # separately, so final-ulp fusion differences are possible). Chunks
+    # form only
     # over runs of iterations with the same prompt pair and resolution, so
     # multi-pair and dynamic-resolution configs degrade gracefully to
     # per-step dispatch. Typical value for tunneled TPUs: 8.

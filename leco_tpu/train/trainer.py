@@ -249,15 +249,16 @@ def make_train_multistep(
         the same order the host loop splits it, so the noise/timestep
         streams match the unchunked path bit-for-bit;
       * the EMA update (when `with_ema`) applies after each step inside the
-        scan, exactly like the host-side per-step lerp;
+        scan with the SAME host-precomputed f32 complement coefficient the
+        unchunked path constant-folds, so the lerp is bit-identical;
       * pack / guidance / sign are chunk-constant (the host only forms
         chunks over runs of iterations with the same prompt pair and
         resolution — see train()).
 
     Returns multistep(base, lora, opt_state, ema, key, pack,
-    guidance_scale, erase_sign, timesteps_to_seq, ema_decay, *, height,
-    width, shard_batch, shard_internal, with_ema) ->
-    (lora, opt_state, ema, key, losses[K]).
+    guidance_scale, erase_sign, timesteps_to_seq, ema_decay,
+    ema_complement, *, height, width, shard_batch, shard_internal,
+    with_ema) -> (lora, opt_state, ema, key, losses[K]).
     Pass ema=() (an empty pytree) when with_ema is False.
     """
     body = _make_step_body(
@@ -286,6 +287,7 @@ def make_train_multistep(
         erase_sign,
         timesteps_to_seq,
         ema_decay,
+        ema_complement,
         *,
         height: int,
         width: int,
@@ -311,9 +313,13 @@ def make_train_multistep(
                 shard_internal=shard_internal,
             )
             if with_ema:
+                # ema_complement is the HOST-precomputed f32(1.0 - decay)
+                # (correctly rounded from f64), not a traced f32 subtraction
+                # — the same constant the unchunked host path folds, so
+                # chunked and per-step EMA are bit-identical
                 ema = jax.tree.map(
                     lambda a, b: a * ema_decay
-                    + b.astype(a.dtype) * (1.0 - ema_decay),
+                    + b.astype(a.dtype) * ema_complement,
                     ema,
                     lora,
                 )
@@ -601,8 +607,9 @@ def train(
     # are MBs) and let the thread fetch + serialize while the loop keeps
     # dispatching. Inline saves cost ~9 s each on a tunneled TPU: the
     # fetch at iteration i waits for every in-flight step first
-    # (BENCH_FULL_r04 windows 2/4). Writer failures surface at the join
-    # before the final save; the written bytes are identical either way.
+    # (BENCH_FULL_r04 windows 2/4). Writer failures abort the loop at the
+    # next iteration (fail-fast) and the in-memory weights are rescue-saved
+    # under a distinct name; the written bytes are identical either way.
     snap_tree = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
     save_threads: list[threading.Thread] = []
     save_errors: list[BaseException] = []
@@ -747,6 +754,12 @@ def train(
     meta_buf: list = []  # lookahead-sampled iterations awaiting execution
     i = start_iteration
     while i < iterations:
+        # fail fast on a dead background writer: a failed periodic save
+        # otherwise surfaces only at the end of the run, hours of training
+        # later (round-4 advisor finding). The in-memory weights are still
+        # good — the rescue save below the loop preserves them.
+        if save_errors:
+            break
         if not meta_buf:
             meta_buf.append(sample_iteration())
         first = meta_buf[0]
@@ -775,12 +788,19 @@ def train(
                 and m[3] == first[3]
             )
 
-        if multistep_fn is not None and first[5]:
-            while len(meta_buf) < limit and _matches(meta_buf[-1]):
-                meta_buf.append(sample_iteration())
+        # n = length of the matching prefix already buffered; grow the
+        # lookahead while the WHOLE buffer is one matching run (a buffered
+        # mismatch blocks the chunk regardless — execution is in sample
+        # order — so growing past it is pointless; round-4 advisor finding)
         n = 1
-        while n < min(len(meta_buf), limit) and _matches(meta_buf[n]):
+        while n < len(meta_buf) and _matches(meta_buf[n]):
             n += 1
+        if multistep_fn is not None and first[5]:
+            while n == len(meta_buf) < limit:
+                meta_buf.append(sample_iteration())
+                if _matches(meta_buf[-1]):
+                    n += 1
+        n = min(n, limit)
 
         pair = first[0]
         height, width = first[2], first[3]
@@ -818,6 +838,7 @@ def train(
                 sign,
                 tsto_seq,
                 dev_scalar(jnp.float32, ema_decay),
+                dev_scalar(jnp.float32, 1.0 - ema_decay),
                 height=height,
                 width=width,
                 shard_batch=shard,
@@ -864,10 +885,14 @@ def train(
         maybe_drain()
 
         # periodic save (train_lora.py:292-302); chunks never cross a save
-        # boundary, so `last` lands exactly on the cadence
+        # boundary, so `last` lands exactly on the cadence. per_steps <= 0
+        # disables periodic saves entirely (the reference crashes with
+        # ZeroDivisionError at train_lora.py:292; this framework documents
+        # 0 = "final save only" instead)
         last = i - 1
         if (
-            last % config.save.per_steps == 0
+            per_steps > 0
+            and last % per_steps == 0
             and last != 0
             and last != config.train.iterations - 1
         ):
@@ -912,6 +937,19 @@ def train(
     for th in save_threads:
         th.join()
     if save_errors:
+        # the periodic writer died, but the in-memory weights are still
+        # good: preserve them under a DISTINCT name (never overwriting a
+        # possibly-good `_last`) before surfacing the writer's error, so a
+        # transient disk fault costs neither the run's time nor the weights
+        rescue = save_path / f"{config.save.name}_rescue.safetensors"
+        try:
+            save_lora_weights(rescue, lora, bundle.spec, save_dtype, metadata)
+            saved.append(rescue)
+            print(f"background save failed; weights rescued to {rescue}")
+        except BaseException as rescue_err:
+            print(f"background save failed AND rescue save failed: "
+                  f"{rescue_err}")
+        metrics_file.close()
         raise save_errors[0]
 
     print("Saving...")

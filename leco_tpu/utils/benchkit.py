@@ -73,6 +73,18 @@ def append_history(result: dict, history_path: str) -> None:
     sha = git_sha()
     if sha:
         entry["git_sha"] = sha
+    # quarantine contended-host measurements explicitly (round-4 verdict,
+    # hygiene): round-4 full runs taken while compile jobs shared the 1-core
+    # host were indistinguishable from regressions in the history. The
+    # runner stamps LECO_BENCH_CONTENDED=1 when it knowingly shares the
+    # host; the load average is recorded always (>1.5 on this 1-core box
+    # means something beside the bench child was running).
+    try:
+        entry["host_load_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    if os.environ.get("LECO_BENCH_CONTENDED") == "1":
+        entry["contended"] = True
     try:
         with open(history_path, "a") as f:
             f.write(json.dumps(entry) + "\n")
@@ -99,12 +111,19 @@ def supervise(script_path: str, rewarm: bool = True) -> None:
     numbers. Children that die (runtime flap) retry with backoff."""
     import tempfile
 
-    status_path = tempfile.mktemp(prefix="leco_bench_status_")
+    fd, status_path = tempfile.mkstemp(prefix="leco_bench_status_")
+    os.close(fd)
     cold_ttfi = None
     retries_left = int(os.environ.get("LECO_BENCH_RETRIES", "4"))
     backoff = 120
     good_runs = 0
     while good_runs < 2:
+        # a stale status file from a prior child must not be misread if
+        # this child exits 0 without writing one (round-4 advisor finding)
+        try:
+            os.remove(status_path)
+        except OSError:
+            pass
         env = dict(os.environ, LECO_BENCH_CHILD="1",
                    LECO_BENCH_STATUS=status_path)
         if cold_ttfi is not None:
@@ -127,7 +146,7 @@ def supervise(script_path: str, rewarm: bool = True) -> None:
         try:
             with open(status_path) as f:
                 status = json.load(f)
-        except OSError:
+        except (OSError, ValueError):
             break
         if status.get("cache_hit") or not rewarm or os.environ.get(
             "LECO_BENCH_REWARM", "1"

@@ -27,7 +27,11 @@ retry on tunnel flap, cold -> warm rerun so the official record is warm):
                        the reference prompts.yaml ships batch_size 2)
   LECO_FULL_ITERS      iteration count (default 500)
   LECO_FULL_CHUNK      train.step_chunk — scan K steps per dispatch
-                       (default 8; 1 = the reference per-step host loop)
+                       (default 1 = the reference per-step host loop; the
+                       round-4 chunked full runs regressed steady-state
+                       1.57/1.03 vs 1.98-2.04 it/s unchunked, so chunking
+                       stays opt-in until an on-chip A/B shows a win —
+                       scripts/ab_chunk.py is that A/B)
 """
 
 import json
@@ -137,9 +141,11 @@ def main():
     batch = int(os.environ.get("LECO_FULL_BATCH", "1"))
     iterations = int(os.environ.get("LECO_FULL_ITERS", "500"))
     # device-side step chunking (train.step_chunk): one dispatch per K
-    # steps. Like logging.interval, the bench opts in EXPLICITLY — the
-    # product default (1) is the reference-faithful per-step loop.
-    step_chunk = int(os.environ.get("LECO_FULL_CHUNK", "8"))
+    # steps. Default 1 (the reference-faithful per-step loop): both round-4
+    # chunked full runs regressed steady-state throughput 23-49% on-chip
+    # (bench_history git_sha db9aada), so K>1 is opt-in pending a win in
+    # the interleaved A/B (scripts/ab_chunk.py).
+    step_chunk = int(os.environ.get("LECO_FULL_CHUNK", "1"))
     # LECO_FULL_TINY=1: 8-channel test UNet at 64 px — validates this
     # script's instrumentation end-to-end on CPU without chip time
     tiny = os.environ.get("LECO_FULL_TINY", "0") == "1"
@@ -263,14 +269,26 @@ def main():
         else float("nan")
     )
 
+    # peak device memory over the run — or the measured reason it cannot
+    # be read (round-4 verdict, Weak #5: `memory_stats: {}` with no
+    # explanation). PJRT exposes allocator stats only on runtimes that
+    # implement them; the tunneled axon runtime may not.
     mem = {}
+    mem_note = None
     try:
-        stats = jax.local_devices()[0].memory_stats() or {}
-        for k in ("peak_bytes_in_use", "bytes_in_use", "bytes_limit"):
-            if k in stats:
-                mem[k] = stats[k]
-    except Exception:
-        pass
+        stats = jax.local_devices()[0].memory_stats()
+        if stats is None:
+            mem_note = ("device.memory_stats() returned None — this "
+                        "runtime exposes no allocator stats")
+        else:
+            for k in ("peak_bytes_in_use", "bytes_in_use", "bytes_limit"):
+                if k in stats:
+                    mem[k] = stats[k]
+            if not mem:
+                mem_note = ("memory_stats() lacks peak/in-use keys; "
+                            f"present: {sorted(stats)[:10]}")
+    except Exception as e:
+        mem_note = f"memory_stats() raised {type(e).__name__}: {e}"
 
     metrics_written = metrics_lines() - metrics_before
 
@@ -305,6 +323,7 @@ def main():
         "cache_hit": cache_hit,
         "cache_entries_written": len(cache_new),
         "memory_stats": mem,
+        **({"memory_stats_note": mem_note} if mem_note else {}),
         "losses_finite": all(
             l == l and abs(l) != float("inf") for l in losses
         ),

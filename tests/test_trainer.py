@@ -180,6 +180,61 @@ class TestEndToEnd:
                     a[k], b[k]
                 ), f"{n}:{k} differs between async and inline saves"
 
+    def test_per_steps_zero_disables_periodic_saves(self, tmp_path):
+        """save.per_steps = 0 means "final save only". The reference crashes
+        with ZeroDivisionError at its first save check (train_lora.py:292);
+        this framework documents 0 as a first-class off switch (round-4
+        advisor finding: the chunk-limit code already treated <= 0 as
+        no-periodic-saves while the save check divided by it unguarded)."""
+        bundle = make_random_bundle()
+        config = tiny_config(tmp_path, iterations=4)
+        config.save.per_steps = 0
+        result = train(config, tiny_prompts(), bundle)
+        assert len(result["losses"]) == 4
+        names = sorted(p.name for p in result["saved"])
+        assert names == ["tiny_last.safetensors"]
+        assert (tmp_path / "tiny_last.safetensors").exists()
+
+    def test_async_save_failure_fails_fast_and_rescues(
+        self, tmp_path, monkeypatch
+    ):
+        """A failed background periodic write must (a) abort the loop at the
+        next iteration instead of training on for the rest of the run, and
+        (b) still preserve the in-memory weights under a distinct rescue
+        path before surfacing the writer's error (round-4 advisor finding:
+        the error used to surface only at the pre-final-save join, AND the
+        raise discarded the final weights)."""
+        from leco_tpu.train import trainer as trainer_mod
+
+        real_save = trainer_mod.save_lora_weights
+        calls = []
+
+        def failing_save(path, *a, **kw):
+            calls.append(str(path))
+            if "steps.safetensors" in str(path):  # periodic writes only
+                raise OSError("disk full (injected)")
+            return real_save(path, *a, **kw)
+
+        monkeypatch.setattr(trainer_mod, "save_lora_weights", failing_save)
+        bundle = make_random_bundle()
+        config = tiny_config(tmp_path, iterations=50)
+        config.save.per_steps = 2  # first periodic save at i=2
+        with pytest.raises(OSError, match="disk full"):
+            train(config, tiny_prompts(), bundle)
+        # fail-fast: nowhere near the 50 configured iterations ran after
+        # the i=2 writer died (the thread races the loop; allow a few)
+        metrics = (tmp_path / "metrics.jsonl").read_text().splitlines()
+        assert len(metrics) < 20, "loop kept training long after the failure"
+        # the rescue file landed with the live weights
+        rescue = tmp_path / "tiny_rescue.safetensors"
+        assert rescue.exists()
+        from safetensors.numpy import load_file
+
+        state = load_file(rescue)
+        assert any(k.endswith(".lora_down.weight") for k in state)
+        # and no `_last` was written (the run did not complete)
+        assert not (tmp_path / "tiny_last.safetensors").exists()
+
 
 class TestPackBuilding:
     def test_pack_shapes(self):
