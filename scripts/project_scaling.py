@@ -86,6 +86,12 @@ def main():
     ap.add_argument("--dp", type=int, default=2)
     ap.add_argument("--sp", type=int, default=4)
     ap.add_argument("--model", choices=["sd15", "sdxl"], default="sd15")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="logical batch size b (PromptSettings.batch_size); "
+                         "the shipped examples/prompts.yaml uses 2 — pass "
+                         "the MEASURED single-chip it/s at that batch via "
+                         "--its (e.g. --batch 2 --its 1.0195, the round-4 "
+                         "warm batch-2 record)")
     args = ap.parse_args()
     if args.res is None:
         args.res = 1024 if args.model == "sdxl" else 512
@@ -93,25 +99,31 @@ def main():
 
     t_iter = 1.0 / args.its
     # per-iteration UNet work in "sample-forwards" (trainer.py): the inner
-    # loop runs `inner` fwds on the 2B CFG batch, the references are ONE
-    # 3B-batched fwd, the target is 1 fwd + backward (~2 fwd-equivalents,
-    # 2B... batch 1 -> 2 CFG samples in the target pass too)
-    inner_sf = args.inner * 2
-    ref_sf = 3
-    target_sf = 2 * (1 + 2)  # fwd + ~2x bwd on the 2-sample CFG batch
+    # loop runs `inner` fwds on the 2bB CFG batch, the references are ONE
+    # 3bB-batched fwd, the target is 1 fwd + backward (~2 fwd-equivalents,
+    # 2bB... batch 1 -> 2 CFG samples in the target pass too). All phases
+    # scale linearly with the logical batch b.
+    b = args.batch
+    inner_sf = args.inner * 2 * b
+    ref_sf = 3 * b
+    target_sf = 2 * (1 + 2) * b  # fwd + ~2x bwd on the 2b-sample CFG batch
     total_sf = inner_sf + ref_sf + target_sf
     t_sample_fwd = t_iter / total_sf
     print(f"single chip: {args.its} it/s -> {t_iter*1e3:.0f} ms/iter over "
           f"~{total_sf:.0f} sample-forwards -> {t_sample_fwd*1e3:.2f} ms each")
 
-    # compute speedup per phase: inner 2 samples -> dp x sp = full 8-way;
-    # 3B refs and 2-sample target: 3 and 2 don't divide... the 2-sample
-    # phases still split dp x sp = 8-way; 3B refs shard H over sp only on
-    # the dp=2 mesh -> 4-way (trainer shard_internal rule)
+    # compute speedup per phase = the chips its sharding actually engages
+    # (trainer constrain_internal rule: leading batch dim over dp when
+    # divisible, latent H over sp when divisible):
+    #   inner CFG batch = 2b samples -> dp x sp when 2b % dp == 0;
+    #   reference batch = 3b samples -> at b=1, 3 does not divide dp=2 so
+    #     it shards H over sp only (4-way); at b=2 the 6-sample batch
+    #     divides dp and the refs go full 8-way — THE batch-2 win;
+    #   target CFG batch = 2b -> dp x sp.
     n_chips = args.dp * args.sp
-    eff_inner = n_chips
-    eff_ref = args.sp
-    eff_target = n_chips
+    eff_inner = n_chips if (2 * b) % args.dp == 0 else args.sp
+    eff_ref = n_chips if (3 * b) % args.dp == 0 else args.sp
+    eff_target = n_chips if (2 * b) % args.dp == 0 else args.sp
     t_compute = t_sample_fwd * (
         inner_sf / eff_inner + ref_sf / eff_ref + target_sf / eff_target
     )
