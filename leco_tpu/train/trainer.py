@@ -40,6 +40,7 @@ import functools
 import os
 import json
 import threading
+import time
 from pathlib import Path
 from typing import Callable, Optional
 
@@ -447,6 +448,21 @@ def train(
     Returns {"lora": final lora tree, "losses": [...], "saved": [paths]}.
     `on_step(i, loss)` is an optional observer hook (used by tests/bench).
     """
+    # LECO_TRAIN_STAGES=1: timestamped setup-stage prints. Exists because a
+    # warm full run on a freshly restarted tunnel runtime showed a silent
+    # ~173 s host block between bundle build and the step trace that no
+    # per-component number could attribute (round-5 TTFI forensics).
+    _stage_t0 = time.perf_counter()
+    if os.environ.get("LECO_TRAIN_STAGES") == "1":
+        def _stage(msg: str) -> None:
+            print(
+                f"[train +{time.perf_counter() - _stage_t0:7.1f}s] {msg}",
+                flush=True,
+            )
+    else:
+        def _stage(msg: str) -> None:
+            return None
+
     metadata = {
         "prompts": ",".join(p.model_dump_json() for p in prompts),
         "config": config.model_dump_json(),
@@ -475,8 +491,10 @@ def train(
 
     # ---- prompt encoding, once (train_lora.py:106-137)
     assert bundle.encode_fn is not None, "bundle.encode_fn required"
+    _stage("setup: begin prompt encoding")
     pairs = encode_prompt_pairs(prompts, bundle.encode_fn, bundle.is_xl)
     bundle.free_text_encoder()
+    _stage("setup: prompts encoded")
 
     print(f"create LoRA for U-Net: {count_lora_modules(bundle.lora_params)} modules.")
     for settings in prompts:
@@ -492,25 +510,43 @@ def train(
     optimizer = get_optimizer(
         config.train.optimizer, lr_schedule, config.train.optimizer_args
     )
-    # lr values for logging, precomputed host-side in ONE device round-trip:
+    # lr values for logging, precomputed in ONE device round-trip:
     # float(lr_schedule(j)) per iteration is a device computation + fetch
     # (~50 ms each through a tunneled TPU — measured as the largest single
-    # host-loop overhead in the round-4 full-recipe run)
+    # host-loop overhead in the round-4 full-recipe run). The dispatch is
+    # async here; the HOST-SIDE fetch is deferred to the first lr_at call
+    # (the first loss drain) — round-5 TTFI forensics caught this
+    # np.asarray blocking ~173 s on a fresh runtime, serializing the
+    # device's bundle-init drain with the step trace/lower instead of
+    # overlapping them.
     try:
-        lr_values = np.asarray(
-            jax.vmap(lr_schedule)(jnp.arange(config.train.iterations))
+        lr_values_dev = jax.vmap(lr_schedule)(
+            jnp.arange(config.train.iterations)
         )
     except Exception:  # exotic schedule not vmappable -> per-step fallback
-        lr_values = None
+        lr_values_dev = None
+    _stage("setup: lr schedule dispatched (fetch deferred to first drain)")
+    lr_values: Optional[np.ndarray] = None
 
     def lr_at(j: int) -> float:
-        if lr_values is not None:
+        nonlocal lr_values
+        if lr_values_dev is not None:
+            if lr_values is None:
+                lr_values = np.asarray(lr_values_dev)
             return float(lr_values[j])
         return float(lr_schedule(j))
 
     lora = bundle.lora_params
-    opt_state = optimizer.init(lora)
+    # one compiled program instead of ~2 eager dispatches per LoRA leaf
+    # (adam mu/nu zeros: ~20 sub-second XLA compiles + hundreds of tiny
+    # RPCs through a tunneled runtime); eager fallback for any custom
+    # optimizer whose init is not traceable
+    try:
+        opt_state = jax.jit(optimizer.init)(lora)
+    except Exception:
+        opt_state = optimizer.init(lora)
     base = bundle.base_params
+    _stage("setup: optimizer state initialized (dispatched)")
 
     # ---- optional EMA of the LoRA weights (leco-tpu extension; the
     # reference has no EMA). Initialized AT the current weights so there is
@@ -563,6 +599,7 @@ def train(
     step_fn = make_train_step(
         bundle, optimizer, config.train.max_denoising_steps, mesh=mesh
     )
+    _stage("setup: step_fn built (trace happens at first dispatch)")
     # device-side step chunking (train.step_chunk, default 1 = off): scan
     # K steps in one jitted call so the host dispatches once per chunk.
     # Only exactly-K chunks use the scan program (one extra compile);
@@ -670,10 +707,15 @@ def train(
         if on_step is not None:
             on_step(j, loss_val)
 
+    _first_drain = [True]
+
     def drain_groups(groups: list) -> None:
         """Materialize a batch of pending loss groups in ONE device->host
         transfer (per-item float() costs a tunnel round-trip each)."""
         vals = jax.device_get([g[1] for g in groups])
+        if _first_drain[0]:
+            _first_drain[0] = False
+            _stage("loop: first losses fetched (device pipeline live)")
         for (metas, _), arr in zip(groups, vals):
             arr = np.atleast_1d(np.asarray(arr))
             for (j, j_tsto, j_h, j_w), v in zip(metas, arr):
@@ -753,6 +795,7 @@ def train(
     per_steps = config.save.per_steps
     meta_buf: list = []  # lookahead-sampled iterations awaiting execution
     i = start_iteration
+    _stage("loop: entering (next: first step dispatch = trace+compile/load)")
     while i < iterations:
         # fail fast on a dead background writer: a failed periodic save
         # otherwise surfaces only at the end of the run, hours of training
@@ -806,15 +849,19 @@ def train(
         height, width = first[2], first[3]
         pack = first[4]
         shard = mesh_lib.shardable_batch(pair.batch_size, mesh)
-        # batch-1 multi-chip: when the logical batch cannot shard, shard the
-        # internal 2B/3B packs over dp and the latent H over sp instead
-        shard_internal = (
-            mesh is not None
-            and not shard
-            and (
-                mesh_lib.axis_size(mesh, mesh_lib.DP_AXIS) > 1
-                or mesh_lib.axis_size(mesh, mesh_lib.SP_AXIS) > 1
-            )
+        # internal sharding engages in two cases (constrain_internal puts
+        # divisible leading batch dims on dp and the latent H on sp):
+        #  * batch-1 multi-chip: the logical batch cannot shard, so the
+        #    internal 2B/3B packs over dp + latent H over sp is the only
+        #    way a slice accelerates the reference's default recipe;
+        #  * dp x sp mesh with a shardable batch (the shipped batch-2
+        #    recipe, examples/prompts.yaml): dp carries the logical batch
+        #    but sp would idle without the H constraint — and the 3bB
+        #    reference pack dp-shards too once 3b divides dp
+        #    (docs/SCALING.md, "Batch 2 — the recipe as shipped").
+        shard_internal = mesh is not None and (
+            (not shard and mesh_lib.axis_size(mesh, mesh_lib.DP_AXIS) > 1)
+            or mesh_lib.axis_size(mesh, mesh_lib.SP_AXIS) > 1
         )
         gs = dev_scalar(jnp.float32, pair.guidance_scale)
         sign = dev_scalar(jnp.float32, pair.erase_sign)
@@ -879,6 +926,9 @@ def train(
             pending_groups.append(([(i, m[1], m[2], m[3])], loss))
             executed = 1
 
+        if i == start_iteration:
+            _stage("loop: first step dispatched (async; trace+compile/load "
+                   "done, execution in flight)")
         i += executed
         if pbar is not None:
             pbar.update(executed)

@@ -28,10 +28,11 @@ retry on tunnel flap, cold -> warm rerun so the official record is warm):
   LECO_FULL_ITERS      iteration count (default 500)
   LECO_FULL_CHUNK      train.step_chunk — scan K steps per dispatch
                        (default 1 = the reference per-step host loop; the
-                       round-4 chunked full runs regressed steady-state
-                       1.57/1.03 vs 1.98-2.04 it/s unchunked, so chunking
-                       stays opt-in until an on-chip A/B shows a win —
-                       scripts/ab_chunk.py is that A/B)
+                       round-5 interleaved A/B adjudicated chunking on a
+                       quiet chip: parity outside a one-off save-boundary
+                       program switch, no win to amortize once the async
+                       loss drain de-serializes dispatch — see
+                       docs/DESIGN.md "Round 5: step chunking adjudicated")
 """
 
 import json
@@ -141,10 +142,11 @@ def main():
     batch = int(os.environ.get("LECO_FULL_BATCH", "1"))
     iterations = int(os.environ.get("LECO_FULL_ITERS", "500"))
     # device-side step chunking (train.step_chunk): one dispatch per K
-    # steps. Default 1 (the reference-faithful per-step loop): both round-4
-    # chunked full runs regressed steady-state throughput 23-49% on-chip
-    # (bench_history git_sha db9aada), so K>1 is opt-in pending a win in
-    # the interleaved A/B (scripts/ab_chunk.py).
+    # steps. Default 1 (the reference-faithful per-step loop): the round-5
+    # interleaved A/B (scripts/ab_chunk.py, 3 runs per arm, deterministic
+    # windows) measured parity outside a one-off save-boundary program
+    # switch and no dispatch latency left to amortize — chunking stays
+    # opt-in (docs/DESIGN.md "Round 5: step chunking adjudicated").
     step_chunk = int(os.environ.get("LECO_FULL_CHUNK", "1"))
     # LECO_FULL_TINY=1: 8-channel test UNet at 64 px — validates this
     # script's instrumentation end-to-end on CPU without chip time

@@ -203,7 +203,7 @@ class TestBatch1InternalSharding:
     over dp and the latent H over sp; numerics must match the unsharded
     step and the compiled step must actually contain collectives."""
 
-    def _run(self, mesh, shard_internal, batch=1):
+    def _run(self, mesh, shard_internal, batch=1, shard_batch=False):
         bundle = make_random_bundle(seed=7)
         pairs = encode_prompt_pairs(
             [PromptSettings(target="van gogh", resolution=64, batch_size=batch)],
@@ -227,7 +227,7 @@ class TestBatch1InternalSharding:
                 jnp.int32(2),
                 height=64,
                 width=64,
-                shard_batch=False,
+                shard_batch=shard_batch,
                 shard_internal=shard_internal,
             )
             compiled = lowered.compile()
@@ -264,6 +264,65 @@ class TestBatch1InternalSharding:
         assert ("all-reduce" in hlo) or ("collective-permute" in hlo), (
             "no collectives in the compiled batch-1 sharded step"
         )
+
+    def test_batch2_shard_batch_plus_sp_matches_unsharded(self):
+        """The recipe as SHIPPED (examples/prompts.yaml batch_size: 2) on a
+        dp x sp mesh: the logical batch shards over dp AND the latent H
+        shards over sp — the trainer host loop enables shard_internal
+        whenever sp > 1 even when the batch is dp-shardable (round-5;
+        docs/SCALING.md 'Batch 2 — the recipe as shipped'). Numerics must
+        match the unsharded batch-2 step."""
+        from leco_tpu.parallel.mesh import get_mesh_dp_sp
+
+        mesh = get_mesh_dp_sp(sp=4)  # (dp=2, sp=4)
+        loss_r, lora_r, _ = self._run(
+            None, shard_internal=False, batch=2, shard_batch=False
+        )
+        loss_s, lora_s, hlo = self._run(
+            mesh, shard_internal=True, batch=2, shard_batch=True
+        )
+
+        assert loss_r == pytest.approx(loss_s, rel=3e-4)
+        from flax.traverse_util import flatten_dict
+
+        f_r, f_s = flatten_dict(lora_r), flatten_dict(lora_s)
+        assert set(f_r) == set(f_s)
+        for k in f_r:
+            np.testing.assert_allclose(
+                np.asarray(f_r[k]), np.asarray(f_s[k]), atol=2e-5,
+                err_msg=str(k),
+            )
+        assert ("all-reduce" in hlo) or ("collective-permute" in hlo), (
+            "no collectives in the compiled batch-2 sharded step"
+        )
+
+    def test_trainer_enables_internal_sharding_on_sp_mesh_batch2(self):
+        """The host-loop flag rule itself: a short REAL train() run at
+        batch 2 on the dp=2 x sp=4 mesh must execute (shard_batch +
+        shard_internal both engage) and produce finite losses."""
+        from leco_tpu.config import RootConfig
+        from leco_tpu.parallel.mesh import get_mesh_dp_sp
+        from leco_tpu.train.trainer import train
+
+        bundle = make_random_bundle(seed=8)
+        config = RootConfig.model_validate(
+            {
+                "prompts_file": "(in-code)",
+                "pretrained_model": {"name_or_path": "random://tiny"},
+                "network": {"rank": 4, "alpha": 1.0},
+                "train": {"iterations": 2, "max_denoising_steps": 3,
+                          "seed": 0, "precision": "float32"},
+                "save": {"name": "b2", "path": "/tmp/leco_test_b2_mesh",
+                         "per_steps": 0},
+                "logging": {"use_wandb": False, "verbose": False},
+            }
+        )
+        prompts = [
+            PromptSettings(target="van gogh", resolution=64, batch_size=2)
+        ]
+        result = train(config, prompts, bundle, mesh=get_mesh_dp_sp(sp=4))
+        assert len(result["losses"]) == 2
+        assert all(np.isfinite(result["losses"]))
 
     def test_constrain_internal_shards_batch_and_h(self):
         from leco_tpu.parallel.mesh import constrain_internal, get_mesh_dp_sp
