@@ -647,7 +647,16 @@ def train(
     # (BENCH_FULL_r04 windows 2/4). Writer failures abort the loop at the
     # next iteration (fail-fast) and the in-memory weights are rescue-saved
     # under a distinct name; the written bytes are identical either way.
-    snap_tree = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
+    # the snapshot is cast to save_dtype ON DEVICE: the writer's fetch then
+    # moves half the bytes over the tunnel when saving bf16/fp16 (the f32
+    # master's cast would otherwise happen host-side AFTER the transfer).
+    # f32->bf16 rounds to nearest-even identically on device and host, so
+    # the written file bytes are unchanged; export_lora_state's own cast
+    # becomes a no-op.
+    _snap_dtype = jnp.dtype(save_dtype)
+    snap_tree = jax.jit(
+        lambda t: jax.tree.map(lambda x: x.astype(_snap_dtype), t)
+    )
     save_threads: list[threading.Thread] = []
     save_errors: list[BaseException] = []
 

@@ -37,10 +37,16 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-# the tiny-UNet protocol is a CPU workload; never claim the TPU tunnel
+# the tiny-UNet protocol is a CPU workload; never claim the TPU tunnel.
+# The env var alone is NOT enough: the axon TPU plugin ignores
+# JAX_PLATFORMS, so the config update below is what actually forces CPU
+# (without it this script silently round-trips the tunneled chip and
+# deadlocks against any concurrent TPU run).
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 
