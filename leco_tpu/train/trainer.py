@@ -666,6 +666,15 @@ def train(
             save_lora_weights(p, tree, bundle.spec, save_dtype, metadata)
             return
         snapped = snap_tree(tree)
+        # start the D2H transfers non-blocking from THIS thread: a plain
+        # device_get in the writer thread blocks holding the runtime's
+        # client path while the ~8-deep dispatch queue drains ahead of the
+        # snapshot, stalling the loop ~3-4 s per save (the deterministic
+        # window-2/4 excess in the full-recipe records — size-independent,
+        # which is how the bf16-snapshot change left the windows
+        # bit-identical). copy_to_host_async enqueues and returns; the
+        # writer's later device_get finds the buffers already landing.
+        jax.tree.map(lambda x: x.copy_to_host_async(), snapped)
 
         def _write():
             try:

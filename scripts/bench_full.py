@@ -120,18 +120,21 @@ def main():
     platform = jax.devices()[0].platform
     t_devices = time.perf_counter() - t0  # tunnel/runtime init
 
-    progress = [time.perf_counter()]
+    # None until the FIRST fetched loss: everything before that (bundle
+    # build, step trace, executable load, the runtime's silent drain) is
+    # one legitimately-unbounded gap — a warm first dispatch measured
+    # 201–1100+ s in the round-5 variance study, so the round-4 choice of
+    # stamping setup stages as heartbeats made the 900 s mid-run bound
+    # govern the first dispatch and ABORT healthy runs (run-d, rc=3 at
+    # 912 s). Worse than the lost run: the abort kills the client
+    # mid-compile, which wedges the tunnel for the supervisor's own retry
+    # (docs/DESIGN.md, "the TTFI silent drain reproduces"). Setup gets the
+    # generous first-event bound instead; the tight bound arms mid-run.
+    progress = [None]
 
     def stage(msg):
-        progress[0] = time.perf_counter()
         print(f"[full +{time.perf_counter() - t0:7.1f}s] {msg}", flush=True)
 
-    # Start the stall watchdog BEFORE the first device touch: stalls have
-    # been observed both mid-loop (iteration ~41x frozen >10 min) and during
-    # the bundle build/transfer (frozen >9 min before any heartbeat
-    # existed). stage() + the per-iteration loss drain are the heartbeat;
-    # 900 s covers the longest legitimate single gap (347 s cold step
-    # compile observed at batch 2) with margin.
     if platform == "tpu":
         benchkit.stall_watchdog(
             lambda: progress[0],
