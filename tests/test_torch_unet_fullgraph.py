@@ -126,21 +126,17 @@ def _inputs(cfg, seed):
     return sample, timesteps, ctx, added
 
 
-def test_forward_matches_torch_real_sd15_widths():
-    """Full-graph parity at the REAL SD1.5 config (round-4 verdict, Next #4).
+def _real_width_parity(cfg, atol):
+    """Full-graph parity at REAL channel counts (round-4 verdict, Next #4).
 
-    The tiny-width cases above prove the graph wiring; this case proves the
-    numerics at the real channel counts (320/640/1280, cross_attention_dim
-    768, 8 heads, norm_num_groups 32) — the offline-obtainable maximum of
+    The tiny-width cases above prove the graph wiring; these cases prove
+    the numerics at the real widths — the offline-obtainable maximum of
     fidelity evidence against the diffusers UNet the reference loads
     (/root/reference/model_util.py:67-72), superseding the self-generated
     checksum pin (test_sd15_pin.py) with ground truth from an independent
     torch composition. One fp32 forward at 8x8 latent, batch 1, on CPU
-    (~0.86B params; the dominant cost is the jax CPU compile of the full
-    graph, minutes not hours)."""
-    from leco_tpu.models.unet import sd15_config
-
-    cfg = sd15_config()
+    (the dominant cost is the jax CPU compile of the full graph, minutes
+    not hours; sd15 measured 105 s on the 1-core round-5 host)."""
     torch.manual_seed(0)
     tmodel = TorchUNet2DConditionModel(cfg)
     sd = _perturbed_state_dict(tmodel, seed=1)
@@ -150,13 +146,29 @@ def test_forward_matches_torch_real_sd15_widths():
     sample = rng.randn(b, hw, hw, cfg.in_channels).astype(np.float32)
     timesteps = np.array([501.0], dtype=np.float32)
     ctx = rng.randn(b, 77, cfg.cross_attention_dim).astype(np.float32)
+    added_np = added_torch = None
+    if cfg.addition_embed_type == "text_time":
+        pooled_dim = (
+            cfg.projection_class_embeddings_input_dim
+            - 6 * cfg.addition_time_embed_dim
+        )
+        text_embeds = rng.randn(b, pooled_dim).astype(np.float32)
+        time_ids = np.tile(
+            np.array([[hw * 8, hw * 8, 0, 0, hw * 8, hw * 8]],
+                     dtype=np.float32),
+            (b, 1),
+        )
+        added_np = {"text_embeds": jnp.asarray(text_embeds),
+                    "time_ids": jnp.asarray(time_ids)}
+        added_torch = {"text_embeds": torch.from_numpy(text_embeds),
+                       "time_ids": torch.from_numpy(time_ids)}
 
     with torch.no_grad():
         out_torch = tmodel(
             torch.from_numpy(sample.transpose(0, 3, 1, 2)),
             torch.from_numpy(timesteps),
             torch.from_numpy(ctx),
-            None,
+            added_torch,
         ).numpy().transpose(0, 2, 3, 1)
 
     params = torch_unet_to_flax(sd)
@@ -168,10 +180,34 @@ def test_forward_matches_torch_real_sd15_widths():
             jnp.asarray(sample),
             jnp.asarray(timesteps),
             jnp.asarray(ctx),
-            None,
+            added_np,
         )
     )
-    np.testing.assert_allclose(out_flax, out_torch, atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(out_flax, out_torch, atol=atol, rtol=1e-3)
+
+
+def test_forward_matches_torch_real_sd15_widths():
+    """320/640/1280 channels, cross_attention_dim 768, 8 heads (~0.86B)."""
+    from leco_tpu.models.unet import sd15_config
+
+    _real_width_parity(sd15_config(), atol=2e-4)
+
+
+def test_forward_matches_torch_real_sd21_widths():
+    """SD2.x: 1024-dim context, 64-dim heads, linear projections, upcast
+    attention — the switches sd15 never exercises, at real widths."""
+    from leco_tpu.models.unet import sd21_config
+
+    _real_width_parity(sd21_config(), atol=2e-4)
+
+
+def test_forward_matches_torch_real_sdxl_widths():
+    """SDXL base (~2.6B): 3 levels, 10-deep level-3 transformer, 2048-dim
+    context, text_time added embeddings, at real widths. Slowest case
+    (fp32 CPU compile+forward of the full graph; several minutes)."""
+    from leco_tpu.models.unet import sdxl_config
+
+    _real_width_parity(sdxl_config(), atol=4e-4)
 
 
 @pytest.mark.parametrize("name,make_cfg", CASES, ids=[c[0] for c in CASES])
