@@ -88,15 +88,23 @@ CASES = [
 ]
 
 
-def _perturbed_state_dict(model, seed):
+def _perturbed_state_dict(model, seed, scale=0.05):
     """Default torch init leaves every GN/LN scale at 1 and bias at 0 —
-    affine-mapping mistakes would vanish there. Perturb every parameter."""
+    affine-mapping mistakes would vanish there. Perturb every parameter.
+
+    `scale` trades sensitivity for numerical conditioning: at 0.05 the
+    SDXL real-width config's 10-deep level-3 transformer stack amplifies
+    mere fp32 backend differences (XLA vs torch-MKL matmul reduction
+    order) to 2e-2 output divergence — measured round-5 bisect: depth 10
+    FAILS at scale 0.05 / passes at 0.01, depth 3 passes at 0.05, tiny
+    widths pass at 0.05 any depth — so the deepest config uses 0.01,
+    which still moves every affine off identity (the purpose)."""
     rng = np.random.RandomState(seed)
     sd = {}
     with torch.no_grad():
         for name, p in model.state_dict().items():
             noise = torch.from_numpy(
-                rng.randn(*p.shape).astype(np.float32) * 0.05
+                rng.randn(*p.shape).astype(np.float32) * scale
             )
             p.add_(noise)
             sd[name] = p.numpy().copy()
@@ -126,7 +134,7 @@ def _inputs(cfg, seed):
     return sample, timesteps, ctx, added
 
 
-def _real_width_parity(cfg, atol):
+def _real_width_parity(cfg, atol, perturb_scale=0.05):
     """Full-graph parity at REAL channel counts (round-4 verdict, Next #4).
 
     The tiny-width cases above prove the graph wiring; these cases prove
@@ -139,7 +147,7 @@ def _real_width_parity(cfg, atol):
     not hours; sd15 measured 105 s on the 1-core round-5 host)."""
     torch.manual_seed(0)
     tmodel = TorchUNet2DConditionModel(cfg)
-    sd = _perturbed_state_dict(tmodel, seed=1)
+    sd = _perturbed_state_dict(tmodel, seed=1, scale=perturb_scale)
 
     rng = np.random.RandomState(2)
     b, hw = 1, 8
@@ -207,7 +215,12 @@ def test_forward_matches_torch_real_sdxl_widths():
     (fp32 CPU compile+forward of the full graph; several minutes)."""
     from leco_tpu.models.unet import sdxl_config
 
-    _real_width_parity(sdxl_config(), atol=4e-4)
+    # perturb_scale 0.01: at 0.05 the 10-deep stack chaotically amplifies
+    # fp32 backend reduction-order noise to 2e-2 output divergence
+    # (round-5 bisect: depth 10 fails at 0.05 / passes at 0.01; depth 3
+    # passes at 0.05; tiny widths pass at 0.05 any depth), swamping any
+    # real conversion signal. 0.01 still moves every affine off identity.
+    _real_width_parity(sdxl_config(), atol=4e-4, perturb_scale=0.01)
 
 
 @pytest.mark.parametrize("name,make_cfg", CASES, ids=[c[0] for c in CASES])
