@@ -642,9 +642,13 @@ def train(
     # DONATES the lora buffers, so a background writer must not hold the
     # live tree — snapshot it on-device (a non-donating copy; LoRA trees
     # are MBs) and let the thread fetch + serialize while the loop keeps
-    # dispatching. Inline saves cost ~9 s each on a tunneled TPU: the
-    # fetch at iteration i waits for every in-flight step first
-    # (BENCH_FULL_r04 windows 2/4). Writer failures abort the loop at the
+    # dispatching. (Round-5 postscript: with the deferred-fetch drain the
+    # loop is device-bound and the WHOLE save path measures < 5 ms — the
+    # window-2/4 "save stalls" this feature was built against turned out
+    # to be the seeded timesteps_to mix, docs/DESIGN.md. async_write still
+    # matters under per-step fetching or a contended host, and the ~18 s
+    # per-leaf-fetch save of early round 4 was real.) Writer failures
+    # abort the loop at the
     # next iteration (fail-fast) and the in-memory weights are rescue-saved
     # under a distinct name; the written bytes are identical either way.
     # the snapshot is cast to save_dtype ON DEVICE: the writer's fetch then
@@ -666,14 +670,16 @@ def train(
             save_lora_weights(p, tree, bundle.spec, save_dtype, metadata)
             return
         snapped = snap_tree(tree)
-        # start the D2H transfers non-blocking from THIS thread: a plain
-        # device_get in the writer thread blocks holding the runtime's
-        # client path while the ~8-deep dispatch queue drains ahead of the
-        # snapshot, stalling the loop ~3-4 s per save (the deterministic
-        # window-2/4 excess in the full-recipe records — size-independent,
-        # which is how the bf16-snapshot change left the windows
-        # bit-identical). copy_to_host_async enqueues and returns; the
-        # writer's later device_get finds the buffers already landing.
+        # start the D2H transfers non-blocking from THIS thread, so the
+        # writer's later device_get finds the buffers already landed (or
+        # landing) instead of initiating a blocking fetch. Measured effect
+        # on the device-bound full-recipe loop: none — the round-5 A/B
+        # left every per-100 window bit-identical, proving the whole save
+        # path (snapshot, thread, fetch) costs < 5 ms of stream time there
+        # (docs/DESIGN.md, "the save dips were never saves"). Kept because
+        # it is strictly earlier work with no cost, and it matters exactly
+        # when the host is NOT comfortably ahead: per-step fetch
+        # discipline (logging.interval 1) or a contended host.
         jax.tree.map(lambda x: x.copy_to_host_async(), snapped)
 
         def _write():
